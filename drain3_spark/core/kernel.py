@@ -256,7 +256,12 @@ class TemplateBank:
         Returns the reference's miner-result fields
         (drain3/template_miner.py:144-150) plus the cluster's creation key.
         """
-        tokens = tokenize(content, self.extra_delimiters)
+        return self.ingest_tokens(tokenize(content, self.extra_delimiters), order_key)
+
+    def ingest_tokens(self, tokens: Sequence[str],
+                      order_key: str = "") -> Dict[str, object]:
+        """Training step on pre-tokenized input (the Spark path tokenizes
+        once in Catalyst and feeds token arrays through Arrow)."""
         hit = self._search(tokens, self.sim_th, include_params=False)
         if hit is None:
             self.counter += 1

@@ -1,0 +1,237 @@
+"""Distributed template mining.
+
+Spark lifecycle (SURVEY.md §3.1; semantics per reference
+drain3/drain.py:188-226 and drain3/template_miner.py:134-162):
+
+    scan → mask+tokenize (Catalyst, codegen) → derive group key
+        → hash-shuffle on group key                       (one shuffle)
+        → applyInPandas: sequential kernel fold per group (Arrow)
+        → split assignments / cluster deltas (persisted, no recompute)
+        → renumber new clusters deterministically (tiny DF)
+        → broadcast id map back onto assignments          (no shuffle)
+
+Group independence is exact: in the reference the first parse-tree
+level is the token count (drain3/drain.py:288-290), so messages with
+different token counts never interact.  "scalable" mode further splits
+groups by the canonical token prefix — the deeper tree levels — which
+the reference also keeps independent except for the rare cross-prefix
+wildcard fallback (drain3/drain.py:313-314); that fallback is the one
+documented approximation of scalable mode.
+
+Cluster ids: the reference assigns sequential ids in creation order from
+a single counter (drain3/drain.py:201-202).  Here each group mines with
+local ids and every created cluster records the order key of its
+creating row; a post-pass renumbers new clusters by that key, so with an
+arrival-ordered key the ids are exactly the reference's.
+
+Order-key contract: the order columns must sort the same as their
+string form (e.g. zero-padded ids, ISO dates) — the engine uses the
+concatenated string form both as cluster identity and as the
+deterministic creation / recency order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from drain3_spark.config import EngineConfig
+from drain3_spark.core.kernel import ClusterRec, TemplateBank
+from drain3_spark.operators.masking import mask_col
+from drain3_spark.operators.tokenize import group_key_cols, tokens_col
+
+KEY_SEP = "\x1f"
+
+# state-table schema: one row per live cluster
+CLUSTER_SCHEMA = T.StructType([
+    T.StructField("cluster_id", T.LongType()),
+    T.StructField("group_key", T.StringType()),
+    T.StructField("token_count", T.IntegerType()),
+    T.StructField("template", T.StringType()),
+    T.StructField("size", T.LongType()),
+    T.StructField("created_key", T.StringType()),
+    T.StructField("updated_key", T.StringType()),
+])
+
+
+@dataclass
+class MiningResult:
+    assignments: DataFrame   # order cols + cluster_id, change_type, cluster_size, template_mined
+    clusters: DataFrame      # CLUSTER_SCHEMA
+    raw: DataFrame           # persisted UDF output (caller unpersists via .unpersist())
+
+    def unpersist(self) -> None:
+        self.raw.unpersist()
+
+
+def _fold_schema(df: DataFrame, order_cols: Sequence[str]) -> T.StructType:
+    fields = [T.StructField("row_kind", T.StringType())]
+    for c in order_cols:
+        fields.append(df.schema[c])
+    fields += [
+        T.StructField("ckey", T.StringType()),
+        T.StructField("cluster_ref", T.StringType()),
+        T.StructField("change_type", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("template", T.StringType()),
+        T.StructField("group_key", T.StringType()),
+        T.StructField("token_count", T.IntegerType()),
+        T.StructField("updated_key", T.StringType()),
+    ]
+    return T.StructType(fields)
+
+
+def mine_templates(df: DataFrame,
+                   cfg: EngineConfig,
+                   content_col: str = "transcript",
+                   order_cols: Sequence[str] = ("ds", "clip_id"),
+                   prior_clusters: Optional[List[tuple]] = None,
+                   prior_counter: int = 0) -> MiningResult:
+    """Mine templates from ``content_col``; returns per-row assignments and
+    the updated cluster (state) table."""
+    cfg.validate()
+    spark = df.sparkSession
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
+    order_cols = list(order_cols)
+
+    masked = mask_col(F.col(content_col), cfg.masking, cfg.mask_prefix, cfg.mask_suffix)
+    toks = tokens_col(masked, cfg.extra_delimiters)
+    keyed = df.select(
+        *order_cols,
+        F.concat_ws(KEY_SEP, *[F.col(c).cast("string") for c in order_cols]).alias("ckey"),
+        toks.alias("tokens"),
+    )
+    # null content never reaches the kernel: such rows are the null-rate
+    # check's concern (SURVEY.md C2), not the miner's — the reference
+    # would raise on a None message too (drain3/drain.py:182)
+    keyed = keyed.filter(F.col("tokens").isNotNull())
+    gcols = group_key_cols(F.col("tokens"), cfg)
+    keyed = keyed.select("*", *gcols)
+    gnames = ["token_count"] + (["prefix_key"] if len(gcols) > 1 else [])
+
+    # broadcast prior state to executors (bounded by max_clusters)
+    prior_rows: List[tuple] = list(prior_clusters or [])
+    bc_prior = spark.sparkContext.broadcast(prior_rows)
+    prior_max = max([prior_counter] + [int(r[0]) for r in prior_rows]) if prior_rows else prior_counter
+
+    kernel_kwargs = dict(
+        sim_th=cfg.sim_th, depth=cfg.depth, max_children=cfg.max_children,
+        # per-group LRU is exact for single-group data; the global bound is
+        # re-applied at commit (reference drain3/drain.py:37-51 semantics)
+        max_clusters=cfg.max_clusters, param_str=cfg.param_str,
+        parametrize_numeric_tokens=cfg.parametrize_numeric_tokens,
+    )
+    n_order = len(order_cols)
+    out_schema = _fold_schema(df, order_cols)
+
+    def fold_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        gkey_parts = [str(pdf.iloc[0]["token_count"])]
+        if "prefix_key" in pdf.columns:
+            gkey_parts.append(str(pdf.iloc[0]["prefix_key"]))
+        group_key = KEY_SEP.join(gkey_parts)
+
+        mine = [r for r in bc_prior.value if r[1] == group_key]
+        state_rows = [(int(r[0]), str(r[3]).split(" ") if r[3] else [], int(r[4]),
+                       r[5] or "", r[6] or "") for r in mine]
+        bank = TemplateBank.from_state(state_rows, counter=None, **kernel_kwargs)
+        bank.counter = max([rec.cid for rec in bank.registry.values()] or [0])
+        prior_ids = set(bank.registry.keys())
+
+        def ref_of(rec: ClusterRec) -> str:
+            return f"g:{rec.cid}" if rec.cid in prior_ids else f"n:{rec.created_key}"
+
+        out = {name: [] for name in out_schema.names}
+
+        def emit(kind, ovals, ckey, cref, change, size, template, updated_key):
+            out["row_kind"].append(kind)
+            for c, v in zip(order_cols, ovals):
+                out[c].append(v)
+            out["ckey"].append(ckey)
+            out["cluster_ref"].append(cref)
+            out["change_type"].append(change)
+            out["size"].append(size)
+            out["template"].append(template)
+            out["group_key"].append(group_key)
+            out["token_count"].append(int(pdf.iloc[0]["token_count"]))
+            out["updated_key"].append(updated_key)
+
+        ovals_cols = [pdf[c].tolist() for c in order_cols]
+        ckeys = pdf["ckey"].tolist()
+        token_lists = pdf["tokens"].tolist()
+        for i in range(len(pdf)):
+            tokens = list(token_lists[i])
+            r = bank.ingest_tokens(tokens, order_key=ckeys[i])
+            rec = bank.registry[r["cluster_id"]]
+            emit("a", [col[i] for col in ovals_cols], ckeys[i], ref_of(rec),
+                 r["change_type"], int(r["cluster_size"]), r["template_mined"], ckeys[i])
+
+        first_ovals = [col[0] for col in ovals_cols]
+        for rec in bank.registry.values():
+            emit("c", first_ovals, rec.created_key, ref_of(rec), "",
+                 int(rec.size), rec.template, rec.updated_key)
+        return pd.DataFrame(out, columns=out_schema.names)
+
+    # groupBy+applyInPandas inserts exactly one hash Exchange on the key
+    folded = (keyed
+              .groupBy(*gnames)
+              .applyInPandas(fold_group, schema=out_schema)
+              .persist())
+
+    clusters_raw = folded.filter(F.col("row_kind") == "c")
+    assignments_raw = folded.filter(F.col("row_kind") == "a")
+
+    # prior clusters whose group saw no rows this batch pass through
+    # unchanged (they never reached a fold task)
+    untouched = None
+    if prior_rows:
+        prior_df = spark.createDataFrame(prior_rows, schema=CLUSTER_SCHEMA)
+        touched_groups = clusters_raw.select("group_key").distinct()
+        untouched = prior_df.join(F.broadcast(touched_groups), "group_key", "left_anti") \
+            .select(*[f.name for f in CLUSTER_SCHEMA.fields])
+
+    # deterministic global renumbering of new clusters: prior ids are kept,
+    # new ids continue the counter in creation-key order
+    # (reference drain3/drain.py:201-202)
+    new = clusters_raw.filter(F.col("cluster_ref").startswith("n:"))
+    prior = clusters_raw.filter(F.col("cluster_ref").startswith("g:"))
+    w = Window.orderBy("ckey")
+    new_ids = new.select(
+        "cluster_ref",
+        (F.lit(prior_max) + F.row_number().over(w)).alias("cluster_id"))
+    prior_ids_df = prior.select(
+        "cluster_ref",
+        F.substring("cluster_ref", 3, 20).cast("long").alias("cluster_id"))
+    id_map = new_ids.unionByName(prior_ids_df)
+
+    clusters = (clusters_raw
+                .join(F.broadcast(id_map), "cluster_ref")
+                .select("cluster_id", "group_key", "token_count", "template",
+                        F.col("size").cast("long").alias("size"),
+                        F.col("ckey").alias("created_key"), "updated_key"))
+    if untouched is not None:
+        clusters = clusters.unionByName(untouched)
+
+    # global LRU bound re-applied at commit time: keep the max_clusters
+    # most-recently-updated clusters (reference drain3/drain.py:37-51)
+    if cfg.max_clusters is not None:
+        rank_w = Window.orderBy(F.desc("updated_key"), F.desc("cluster_id"))
+        clusters = (clusters
+                    .withColumn("_r", F.row_number().over(rank_w))
+                    .filter(F.col("_r") <= cfg.max_clusters)
+                    .drop("_r"))
+
+    assignments = (assignments_raw
+                   .join(F.broadcast(id_map), "cluster_ref")
+                   .select(*order_cols,
+                           "cluster_id",
+                           "change_type",
+                           F.col("size").alias("cluster_size"),
+                           F.col("template").alias("template_mined")))
+
+    return MiningResult(assignments=assignments, clusters=clusters, raw=folded)

@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "drain3_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build a session tuned for this engine.
+
+    AQE handles runtime partition coalescing and skew-join splitting
+    (the distributed analog of the reference's max_children hot-key
+    collapsing, drain3/drain.py:364-382); Arrow is the mandatory
+    Python boundary (vectorized pandas UDFs only, no per-row Python).
+    """
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and master.startswith("local["):
+        master = f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.master(master).appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # binary audio payloads inflate Arrow batches; keep them bounded
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
+    return spark
