@@ -1,0 +1,84 @@
+"""Pure-numpy audio codecs.
+
+The payload-validation check (BASELINE.json input_hint / SURVEY.md C8)
+decodes ``bytes`` per ``codec`` into float32 PCM inside batched Arrow
+UDFs and asserts SNR >= 30 dB against the regenerated reference signal.
+No external audio libraries exist in this sandbox, so the four codecs
+are implemented directly:
+
+* ``pcm_s16le`` / ``pcm_f32le`` — linear little-endian PCM
+* ``mulaw`` / ``alaw`` — ITU-T G.711 companding (continuous-formula
+  variant; encode/decode are exact inverses up to 8-bit quantization,
+  which keeps sine+noise SNR well above the 30 dB gate)
+
+All functions are vectorized over whole clips (no per-sample Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MU = 255.0
+A_LAW = 87.6
+
+CODECS = ("pcm_s16le", "pcm_f32le", "mulaw", "alaw")
+
+
+def _clip(x: np.ndarray) -> np.ndarray:
+    return np.clip(x, -1.0, 1.0)
+
+
+def encode(pcm: np.ndarray, codec: str) -> bytes:
+    x = _clip(np.asarray(pcm, dtype=np.float32))
+    if codec == "pcm_s16le":
+        return (np.round(x * 32767.0).astype("<i2")).tobytes()
+    if codec == "pcm_f32le":
+        return x.astype("<f4").tobytes()
+    if codec == "mulaw":
+        y = np.sign(x) * np.log1p(MU * np.abs(x)) / np.log1p(MU)
+        q = np.round((y + 1.0) * 127.5).astype(np.uint8)
+        return q.tobytes()
+    if codec == "alaw":
+        ax = np.abs(x)
+        y = np.where(ax < 1.0 / A_LAW,
+                     A_LAW * ax / (1.0 + np.log(A_LAW)),
+                     (1.0 + np.log(A_LAW * np.maximum(ax, 1.0 / A_LAW)))
+                     / (1.0 + np.log(A_LAW)))
+        y = np.sign(x) * y
+        q = np.round((y + 1.0) * 127.5).astype(np.uint8)
+        return q.tobytes()
+    raise ValueError(f"unknown codec: {codec}")
+
+
+def decode(payload: bytes, codec: str) -> np.ndarray:
+    if codec == "pcm_s16le":
+        return np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32767.0
+    if codec == "pcm_f32le":
+        return np.frombuffer(payload, dtype="<f4").astype(np.float32)
+    if codec == "mulaw":
+        y = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
+        x = np.sign(y) * (np.power(1.0 + MU, np.abs(y)) - 1.0) / MU
+        return x.astype(np.float32)
+    if codec == "alaw":
+        y = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
+        ay = np.abs(y)
+        knee = 1.0 / (1.0 + np.log(A_LAW))
+        x = np.where(ay < knee,
+                     ay * (1.0 + np.log(A_LAW)) / A_LAW,
+                     np.exp(ay * (1.0 + np.log(A_LAW)) - 1.0) / A_LAW)
+        return (np.sign(y) * x).astype(np.float32)
+    raise ValueError(f"unknown codec: {codec}")
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio of ``decoded`` against ``reference`` in dB;
+    -inf on length mismatch or degenerate input."""
+    if reference.shape != decoded.shape or reference.size == 0:
+        return float("-inf")
+    err = np.sum((reference.astype(np.float64) - decoded.astype(np.float64)) ** 2)
+    sig = np.sum(reference.astype(np.float64) ** 2)
+    if err == 0.0:
+        return float("inf")
+    if sig == 0.0:
+        return float("-inf")
+    return float(10.0 * np.log10(sig / err))

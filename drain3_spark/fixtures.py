@@ -1,0 +1,223 @@
+"""Deterministic synthesis of the clips tables (FIXTURES.md T1-T3).
+
+Everything is a pure function of the row index / clip_id (sha1-keyed),
+so any scale regenerates identically and the audio decode check can
+rebuild each clip's reference signal without a payload table.
+
+Generation is distributed: ``spark.range(n)`` → ``mapInPandas`` synth,
+so the bench tier (millions of clips) is produced by the cluster, not
+the driver.
+
+Dirty mode (T3) injects exactly one labeled defect into ~2% of rows and
+emits the golden ``expected_violations`` rows alongside; the drift
+partition (last ds) gets its duration scaled and codec mix flipped for
+the KS / chi-square checks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from drain3_spark.audio.codecs import encode
+from drain3_spark.audio.synth import (CODEC_CHOICES, CODEC_WEIGHTS, SR_CHOICES,
+                                      SR_WEIGHTS, _pick, reference_pcm)
+
+# --- check names shared with the validation runner (exact-match contract) ---
+CHECK_UNIQUENESS = "uniqueness"
+CHECK_REF_MISSING = "referential_missing_ref"
+CHECK_REF_ORPHAN = "referential_orphan"
+CHECK_NULL_TRANSCRIPT = "null_transcript"
+CHECK_DUR_BOUNDS = "dur_bounds"
+CHECK_SR_DOMAIN = "sr_domain"
+CHECK_AUDIO_DECODE = "audio_decode"
+CHECK_TRANSCRIPT_EQ = "transcript_equality"
+
+DUR_OUT_OF_RANGE = 10_000_000
+SR_ILLEGAL = 12345
+
+CLIPS_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("sr_hz", T.IntegerType()),
+    T.StructField("dur_ms", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("transcript", T.StringType()),
+    T.StructField("ds", T.StringType()),
+])
+
+REF_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("transcript_ref", T.StringType()),
+])
+
+VIOLATION_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("ds", T.StringType()),
+    T.StructField("check", T.StringType()),
+    T.StructField("detail", T.StringType()),
+])
+
+_CODEC_FLIP = {"pcm_s16le": "mulaw", "mulaw": "pcm_s16le",
+               "alaw": "pcm_f32le", "pcm_f32le": "alaw"}
+
+DEFECT_KINDS = ("dup", "missing_ref", "orphan_ref", "null_transcript",
+                "dur_bounds", "sr_domain", "corrupt_bytes", "transcript_mismatch")
+
+
+def make_transcript(h: int) -> str:
+    k = (h >> 40) % 6
+    if k == 0:
+        return (f"user u{h % 97} logged in from "
+                f"10.{(h >> 3) % 256}.{(h >> 11) % 256}.{(h >> 19) % 256}")
+    if k == 1:
+        status = ("OK", "FAIL", "RETRY")[h % 3]
+        return f"job {h % 1000} finished in {h % 500} ms with status {status}"
+    if k == 2:
+        return f"uploaded clip {h % 1000000} bytes={h % 1000000000}"
+    if k == 3:
+        return "cache flush completed"
+    if k == 4:
+        return f"decode warning: frame {h % 240} dropped at offset {h % 100000}"
+    return f"speaker {h % 50} segment {h % 20} of {h % 7 + 1}"
+
+
+def row_meta(i: int, n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
+             dirty: bool = False, defect_rate: int = 50) -> Dict:
+    """Deterministic metadata for row ``i`` (defect kind included)."""
+    clip_id = f"clip-{i:010d}"
+    h = int.from_bytes(hashlib.sha1(clip_id.encode()).digest()[:8], "big")
+    ds_idx = i % n_ds
+    ds = f"2026-08-{ds_idx + 1:02d}"
+    sr = _pick(SR_WEIGHTS, SR_CHOICES, (h >> 16) % 100)
+    dur = dur_lo + ((h >> 8) % max(dur_hi - dur_lo, 1))
+    codec = _pick(CODEC_WEIGHTS, CODEC_CHOICES, (h >> 24) % 100)
+    transcript = make_transcript(h)
+
+    drift = dirty and ds_idx == n_ds - 1
+    if drift:
+        dur = int(dur * 3 // 2)
+        codec = _CODEC_FLIP[codec]
+
+    defect = None
+    if dirty and not drift and (h % defect_rate) == 0:
+        defect = DEFECT_KINDS[(h >> 32) % len(DEFECT_KINDS)]
+
+    return {"i": i, "clip_id": clip_id, "h": h, "ds": ds, "sr_hz": sr,
+            "dur_ms": dur, "codec": codec, "transcript": transcript,
+            "defect": defect}
+
+
+def expected_violation(m: Dict, snr_min: float = 30.0,
+                       dur_bounds=(100, 5000)) -> Optional[tuple]:
+    d = m["defect"]
+    if d is None:
+        return None
+    cid, ds = m["clip_id"], m["ds"]
+    if d == "dup":
+        return (cid, ds, CHECK_UNIQUENESS, "count=2")
+    if d == "missing_ref":
+        return (cid, ds, CHECK_REF_MISSING, "no transcript_ref row")
+    if d == "orphan_ref":
+        return (f"orphan-{m['i']:010d}", None, CHECK_REF_ORPHAN,
+                "transcript_ref row without clip")
+    if d == "null_transcript":
+        return (cid, ds, CHECK_NULL_TRANSCRIPT, "transcript is null or empty")
+    if d == "dur_bounds":
+        return (cid, ds, CHECK_DUR_BOUNDS,
+                f"dur_ms={DUR_OUT_OF_RANGE} outside [{dur_bounds[0]}, {dur_bounds[1]}]")
+    if d == "sr_domain":
+        return (cid, ds, CHECK_SR_DOMAIN, f"sr_hz={SR_ILLEGAL} not in domain")
+    if d == "corrupt_bytes":
+        return (cid, ds, CHECK_AUDIO_DECODE, f"snr below {snr_min} dB")
+    if d == "transcript_mismatch":
+        return (cid, ds, CHECK_TRANSCRIPT_EQ, "transcript != transcript_ref")
+    raise AssertionError(d)
+
+
+def _synth_row(m: Dict) -> List[tuple]:
+    """Clips rows for one metadata record (two rows for a dup defect)."""
+    pcm = reference_pcm(m["clip_id"], m["sr_hz"], m["dur_ms"])
+    d = m["defect"]
+    sr, dur, transcript = m["sr_hz"], m["dur_ms"], m["transcript"]
+    if d == "corrupt_bytes":
+        rng = np.random.default_rng(m["h"] & 0xFFFFFFFF ^ 0x5A5A5A5A)
+        payload = encode(rng.uniform(-1, 1, len(pcm)).astype(np.float32), m["codec"])
+    else:
+        payload = encode(pcm, m["codec"])
+    if d == "null_transcript":
+        transcript = None
+    elif d == "transcript_mismatch":
+        transcript = transcript + " CORRUPTED"
+    if d == "dur_bounds":
+        dur = DUR_OUT_OF_RANGE
+    if d == "sr_domain":
+        sr = SR_ILLEGAL
+    row = (m["clip_id"], bytearray(payload), sr, dur, m["codec"], transcript, m["ds"])
+    return [row, row] if d == "dup" else [row]
+
+
+def gen_clips(spark: SparkSession, n: int, dirty: bool = False,
+              n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
+              partitions: Optional[int] = None) -> DataFrame:
+    """T1 (clean) / T3 (dirty) clips table, synthesized on executors."""
+    kw = dict(n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi, dirty=dirty)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CLIPS_SCHEMA.fields]
+        for b in batches:
+            rows: List[tuple] = []
+            for i in b["id"]:
+                rows.extend(_synth_row(row_meta(int(i), **kw)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(synth, CLIPS_SCHEMA)
+
+
+def gen_transcripts_ref(spark: SparkSession, n: int, dirty: bool = False,
+                        n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
+                        partitions: Optional[int] = None) -> DataFrame:
+    """T2 reference table (missing-ref rows dropped, orphans added)."""
+    kw = dict(n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi, dirty=dirty)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                m = row_meta(int(i), **kw)
+                if m["defect"] == "missing_ref":
+                    continue
+                rows.append((m["clip_id"], m["transcript"]))
+                if m["defect"] == "orphan_ref":
+                    rows.append((f"orphan-{m['i']:010d}", "orphan transcript"))
+            yield pd.DataFrame(rows, columns=["clip_id", "transcript_ref"])
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, REF_SCHEMA)
+
+
+def gen_expected_violations(spark: SparkSession, n: int, n_ds: int = 7,
+                            dur_lo: int = 200, dur_hi: int = 3000,
+                            snr_min: float = 30.0,
+                            dur_bounds=(100, 5000),
+                            partitions: Optional[int] = None) -> DataFrame:
+    """Golden violations table for the dirty fixture (exact-match target)."""
+    kw = dict(n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi, dirty=True)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIOLATION_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                v = expected_violation(row_meta(int(i), **kw), snr_min, dur_bounds)
+                if v is not None:
+                    rows.append(v)
+            yield pd.DataFrame(rows, columns=cols)
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, VIOLATION_SCHEMA)

@@ -1,0 +1,95 @@
+"""Batch / incremental engine drivers (reference A21,
+examples/drain_bigfile_demo.py + drain_stdin_demo.py recast).
+
+``run_incremental`` processes ds partitions in order as micro-batches —
+mining templates through the checkpointed state store and validating
+each partition — and is resumable: partitions at or below the store's
+high-watermark are skipped (idempotent re-run after a crash).  This is
+the ``foreachBatch`` shape of Structured Streaming with an explicit
+state table, chosen over ``applyInPandasWithState`` for exact snapshot
+fidelity and batch/stream symmetry (SURVEY.md §2.B streaming row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from drain3_spark.config import EngineConfig
+from drain3_spark.operators.mining import mine_templates
+from drain3_spark.state.store import CheckpointStore
+from drain3_spark.validation.runner import (ValidationConfig, ValidationEngine,
+                                            ValidationReport)
+
+
+@dataclass
+class BatchResult:
+    batch_id: int
+    ds: str
+    clusters: List[tuple]
+    counter: int
+    report: Optional[ValidationReport]
+    assignments_count: int
+    new_clusters: int
+
+
+def run_incremental(spark: SparkSession,
+                    clips: DataFrame,
+                    state_dir: str,
+                    cfg: Optional[EngineConfig] = None,
+                    vcfg: Optional[ValidationConfig] = None,
+                    transcripts_ref: Optional[DataFrame] = None,
+                    validate: bool = True,
+                    out_dir: Optional[str] = None) -> List[BatchResult]:
+    """Mine + validate each ds partition as one committed micro-batch."""
+    cfg = cfg or EngineConfig()
+    engine = ValidationEngine(vcfg or ValidationConfig())
+    store = CheckpointStore(state_dir)
+    hw, prior, counter, _ = store.latest(spark)
+
+    all_ds = sorted(r["ds"] for r in clips.select("ds").distinct().collect())
+    results: List[BatchResult] = []
+    for idx, ds in enumerate(all_ds):
+        if hw is not None and idx <= hw:
+            continue  # already committed — resume point
+        batch = clips.filter(F.col("ds") == ds)
+        mined = mine_templates(batch, cfg, prior_clusters=prior,
+                               prior_counter=counter)
+        clusters_df = mined.clusters
+        report = None
+        if validate:
+            # orphan detection is corpus-level and handled after the loop
+            report = engine.validate(batch, transcripts_ref,
+                                     include_orphans=False)
+        if out_dir:
+            mined.assignments.write.mode("overwrite").parquet(
+                f"{out_dir}/assignments/ds={ds}")
+            if report is not None:
+                report.violations.write.mode("overwrite").parquet(
+                    f"{out_dir}/violations/ds={ds}")
+                report.partition_report.write.mode("overwrite").parquet(
+                    f"{out_dir}/partition_report/ds={ds}")
+                report.metrics.write.mode("overwrite").parquet(
+                    f"{out_dir}/metrics/ds={ds}")
+        rows = [tuple(r) for r in clusters_df.collect()]
+        n_assign = mined.assignments.count()
+        counter = max([counter] + [int(r[0]) for r in rows])
+        new_clusters = len(rows) - len(prior)
+        store.commit(idx, clusters_df, counter, batch_key=ds)
+        mined.unpersist()
+        if report is not None:
+            report.violations.unpersist()
+        prior = rows
+        results.append(BatchResult(idx, ds, rows, counter, report,
+                                   n_assign, new_clusters))
+
+    # corpus-level orphan pass: one anti-join over the full input,
+    # rewritten (not appended) every invocation so a resume replaces any
+    # partial-corpus result
+    if validate and transcripts_ref is not None and out_dir:
+        from drain3_spark.validation.checks import corpus_orphan_violations
+        corpus_orphan_violations(clips, transcripts_ref) \
+            .write.mode("overwrite").parquet(f"{out_dir}/violations_corpus")
+    return results

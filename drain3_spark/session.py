@@ -33,6 +33,9 @@ def get_spark(app_name: str = "drain3_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # binary audio payloads inflate Arrow batches; keep them bounded
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # ds partition values stay strings on read-back (the engine's
+        # order-key and violation contracts are string-typed)
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

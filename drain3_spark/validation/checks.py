@@ -1,0 +1,176 @@
+"""Row- and table-level validation checks (SURVEY.md C1-C4, C9).
+
+Design for 100 TB: the row-local checks (null / bounds / domain) run in
+ONE narrow pass — per-row flag structs exploded into violation rows, no
+shuffle.  Uniqueness is one hash aggregation on the key.  Referential
+integrity and transcript equality share ONE full-outer join on clip_id.
+The audio payload check (validation.audio) is the only pass that reads
+``bytes``; every other pass prunes it at the parquet scan.
+
+Violation detail strings are the exact-match contract shared with
+drain3_spark.fixtures (golden expectations).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from drain3_spark.fixtures import (CHECK_DUR_BOUNDS, CHECK_NULL_TRANSCRIPT,
+                                   CHECK_REF_MISSING, CHECK_REF_ORPHAN,
+                                   CHECK_SR_DOMAIN, CHECK_TRANSCRIPT_EQ,
+                                   CHECK_UNIQUENESS, VIOLATION_SCHEMA)
+
+
+def _violation(clip_id: Column, ds: Column, check: str, detail: Column) -> Column:
+    return F.struct(clip_id.alias("clip_id"), ds.alias("ds"),
+                    F.lit(check).alias("check"), detail.alias("detail"))
+
+
+def row_local_violations(clips: DataFrame,
+                         dur_bounds: Tuple[int, int] = (100, 5000),
+                         sr_domain: Sequence[int] = (8000, 16000, 22050, 44100, 48000),
+                         ) -> DataFrame:
+    """Null / bounds / domain checks in one narrow pass (no shuffle).
+
+    Reference precedent: the miner's implicit per-row contract
+    (drain3/drain.py:188 takes exactly one non-null str)."""
+    lo, hi = dur_bounds
+    cid, ds = F.col("clip_id"), F.col("ds")
+    checks = F.array(
+        F.when(F.col("transcript").isNull() | (F.col("transcript") == ""),
+               _violation(cid, ds, CHECK_NULL_TRANSCRIPT,
+                          F.lit("transcript is null or empty"))),
+        F.when((F.col("dur_ms") < lo) | (F.col("dur_ms") > hi),
+               _violation(cid, ds, CHECK_DUR_BOUNDS,
+                          F.concat(F.lit("dur_ms="), F.col("dur_ms").cast("string"),
+                                   F.lit(f" outside [{lo}, {hi}]")))),
+        F.when(~F.col("sr_hz").isin(*[int(s) for s in sr_domain]),
+               _violation(cid, ds, CHECK_SR_DOMAIN,
+                          F.concat(F.lit("sr_hz="), F.col("sr_hz").cast("string"),
+                                   F.lit(" not in domain")))),
+    )
+    return (clips
+            .select(F.explode(F.filter(checks, lambda c: c.isNotNull())).alias("v"))
+            .select("v.*"))
+
+
+def uniqueness_violations(clips: DataFrame, key: str = "clip_id") -> DataFrame:
+    """Duplicate-key rows via one hash aggregation
+    (reference precedent: unique sequential cluster ids,
+    drain3/drain.py:201-202)."""
+    return (clips
+            .groupBy(key, "ds")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .select(F.col(key).alias("clip_id"), "ds",
+                    F.lit(CHECK_UNIQUENESS).alias("check"),
+                    F.concat(F.lit("count="), F.col("_n").cast("string")).alias("detail")))
+
+
+def referential_and_equality_violations(clips: DataFrame,
+                                        transcripts_ref: DataFrame,
+                                        include_orphans: bool = True) -> DataFrame:
+    """Missing-ref / orphan-ref / transcript-equality from ONE full-outer
+    join on clip_id (reference precedent for the anti-join shape: stale
+    cluster-id cleanup, drain3/drain.py:345-351).
+
+    A clip with a null transcript is the null check's finding, not an
+    equality mismatch.
+
+    ``include_orphans=False`` when ``clips`` is one micro-batch of a
+    larger corpus: a ref row without a clip in *this batch* may match a
+    clip in another partition, so orphan detection is a whole-corpus
+    pass (drain3_spark.jobs runs it once against the full input)."""
+    left = clips.select("clip_id", "ds", "transcript").alias("c")
+    right = transcripts_ref.select(
+        F.col("clip_id").alias("r_clip_id"),
+        F.col("transcript_ref").alias("transcript_ref")).alias("r")
+    how = "full_outer" if include_orphans else "left"
+    j = left.join(right, F.col("c.clip_id") == F.col("r.r_clip_id"), how)
+
+    missing = (j.filter(F.col("r.r_clip_id").isNull())
+               .select(F.col("c.clip_id").alias("clip_id"), F.col("c.ds").alias("ds"),
+                       F.lit(CHECK_REF_MISSING).alias("check"),
+                       F.lit("no transcript_ref row").alias("detail"))
+               .distinct())
+    parts = [missing]
+    if include_orphans:
+        parts.append(
+            j.filter(F.col("c.clip_id").isNull())
+            .select(F.col("r.r_clip_id").alias("clip_id"),
+                    F.lit(None).cast("string").alias("ds"),
+                    F.lit(CHECK_REF_ORPHAN).alias("check"),
+                    F.lit("transcript_ref row without clip").alias("detail")))
+    mismatch = (j.filter(F.col("c.clip_id").isNotNull()
+                         & F.col("r.r_clip_id").isNotNull()
+                         & F.col("c.transcript").isNotNull()
+                         & (F.col("c.transcript") != F.col("r.transcript_ref")))
+                .select(F.col("c.clip_id").alias("clip_id"), F.col("c.ds").alias("ds"),
+                        F.lit(CHECK_TRANSCRIPT_EQ).alias("check"),
+                        F.lit("transcript != transcript_ref").alias("detail"))
+                .distinct())
+    parts.append(mismatch)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def corpus_orphan_violations(clips: DataFrame,
+                             transcripts_ref: DataFrame) -> DataFrame:
+    """Orphan transcript_ref rows vs the FULL clips corpus — one
+    left-anti join.  Corpus-level by definition (a ref row may match a
+    clip in any partition), so the incremental driver runs this once per
+    invocation, not per micro-batch."""
+    return (transcripts_ref
+            .join(clips.select("clip_id"), "clip_id", "left_anti")
+            .select("clip_id",
+                    F.lit(None).cast("string").alias("ds"),
+                    F.lit(CHECK_REF_ORPHAN).alias("check"),
+                    F.lit("transcript_ref row without clip").alias("detail")))
+
+
+def schema_violations(clips: DataFrame, expected: T.StructType) -> DataFrame:
+    """Declared-schema conformance (SURVEY.md C1): column presence, type,
+    and nullability drift reported as table-level violation rows
+    (clip_id null)."""
+    spark = clips.sparkSession
+    actual = {f.name: f for f in clips.schema.fields}
+    problems = []
+    for f in expected.fields:
+        a = actual.get(f.name)
+        if a is None:
+            problems.append((None, None, "schema", f"missing column {f.name}"))
+        elif a.dataType.simpleString() != f.dataType.simpleString():
+            problems.append((None, None, "schema",
+                             f"column {f.name}: {a.dataType.simpleString()} "
+                             f"!= {f.dataType.simpleString()}"))
+    for name in actual:
+        if name not in {f.name for f in expected.fields}:
+            problems.append((None, None, "schema", f"unexpected column {name}"))
+    return spark.createDataFrame(problems, VIOLATION_SCHEMA)
+
+
+def column_stats(clips: DataFrame) -> DataFrame:
+    """Per-partition column statistics in one aggregation pass
+    (SURVEY.md C2; reference precedent: profiler counters,
+    drain3/simple_profiler.py:95-99)."""
+    return (clips.groupBy("ds").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.avg(F.col("transcript").isNull().cast("double")).alias("transcript_null_rate"),
+        F.min("dur_ms").alias("dur_ms_min"),
+        F.max("dur_ms").alias("dur_ms_max"),
+        F.avg("dur_ms").alias("dur_ms_avg"),
+        F.approx_count_distinct("clip_id").alias("clip_id_approx_distinct"),
+    ))
+
+
+def codec_histogram(clips: DataFrame) -> DataFrame:
+    """(ds, codec) frequency contingency table — the chi-square input."""
+    return clips.groupBy("ds", "codec").agg(F.count(F.lit(1)).alias("n"))
+
+
+def sr_histogram(clips: DataFrame) -> DataFrame:
+    return clips.groupBy("ds", "sr_hz").agg(F.count(F.lit(1)).alias("n"))

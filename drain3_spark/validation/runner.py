@@ -1,0 +1,142 @@
+"""Validation engine runner (SURVEY.md C9, C12).
+
+Runs the full check family over a clips table and emits:
+
+* ``violations`` — one row per violating clip (exact-match contract
+  with the golden fixtures), schema (clip_id, ds, check, detail);
+* ``partition_report`` — one row per (ds, check) with pass/fail and
+  counts, the per-partition verdict surface demanded by
+  BASELINE.json north_rule;
+* ``metrics`` — per-partition lineage counters (rows scanned,
+  violations, templates seen, clusters created), mirroring the
+  reference profiler's report (drain3/simple_profiler.py:101-119).
+
+Pass structure (scan count matters at 100 TB):
+  A. row-local checks: one narrow pass, no shuffle
+  B. uniqueness: one hash aggregation
+  C. referential + equality: one full-outer join
+  D. audio decode: one column-pruned pass over ``bytes``
+  E. drift: two aggregations (value histogram + contingency),
+     statistics on the tiny aggregated tables
+  F. (optional) template mining / match anomaly via operators.mining
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from drain3_spark.fixtures import VIOLATION_SCHEMA
+from drain3_spark.validation import checks as C
+from drain3_spark.validation.audio import audio_violations
+from drain3_spark.validation.drift import chisq_drift, ks_drift
+
+PARTITION_REPORT_SCHEMA = T.StructType([
+    T.StructField("ds", T.StringType()),
+    T.StructField("check", T.StringType()),
+    T.StructField("passed", T.BooleanType()),
+    T.StructField("violation_count", T.LongType()),
+    T.StructField("rows_scanned", T.LongType()),
+    T.StructField("detail", T.StringType()),
+])
+
+
+@dataclass
+class ValidationConfig:
+    dur_bounds: Tuple[int, int] = (100, 5000)
+    sr_domain: Sequence[int] = (8000, 16000, 22050, 44100, 48000)
+    snr_min: float = 30.0
+    drift_baseline_ds: Optional[str] = None
+    drift_alpha: float = 0.05
+    with_audio: bool = True
+    with_drift: bool = True
+
+
+@dataclass
+class ValidationReport:
+    violations: DataFrame
+    partition_report: DataFrame
+    metrics: DataFrame
+
+
+class ValidationEngine:
+    def __init__(self, config: ValidationConfig | None = None) -> None:
+        self.cfg = config or ValidationConfig()
+
+    def violations(self, clips: DataFrame,
+                   transcripts_ref: Optional[DataFrame] = None,
+                   include_orphans: bool = True) -> DataFrame:
+        cfg = self.cfg
+        v = C.row_local_violations(clips, cfg.dur_bounds, cfg.sr_domain)
+        v = v.unionByName(C.uniqueness_violations(clips))
+        if transcripts_ref is not None:
+            v = v.unionByName(C.referential_and_equality_violations(
+                clips, transcripts_ref, include_orphans=include_orphans))
+        if cfg.with_audio:
+            v = v.unionByName(
+                audio_violations(clips, cfg.snr_min, cfg.dur_bounds, cfg.sr_domain))
+        return v
+
+    def validate(self, clips: DataFrame,
+                 transcripts_ref: Optional[DataFrame] = None,
+                 include_orphans: bool = True) -> ValidationReport:
+        cfg = self.cfg
+        spark = clips.sparkSession
+        violations = self.violations(clips, transcripts_ref,
+                                     include_orphans=include_orphans).persist()
+
+        rows_per_ds = clips.groupBy("ds").agg(F.count(F.lit(1)).alias("rows_scanned"))
+        per_check = (violations.filter(F.col("ds").isNotNull())
+                     .groupBy("ds", "check")
+                     .agg(F.count(F.lit(1)).alias("violation_count")))
+        # every (ds, check) pair appears, pass=true when count is 0
+        from drain3_spark.fixtures import (CHECK_AUDIO_DECODE, CHECK_DUR_BOUNDS,
+                                           CHECK_NULL_TRANSCRIPT, CHECK_REF_MISSING,
+                                           CHECK_SR_DOMAIN, CHECK_TRANSCRIPT_EQ,
+                                           CHECK_UNIQUENESS)
+        check_names = [CHECK_NULL_TRANSCRIPT, CHECK_DUR_BOUNDS, CHECK_SR_DOMAIN,
+                       CHECK_UNIQUENESS]
+        if transcripts_ref is not None:
+            check_names += [CHECK_REF_MISSING, CHECK_TRANSCRIPT_EQ]
+        if cfg.with_audio:
+            check_names.append(CHECK_AUDIO_DECODE)
+        all_checks = spark.createDataFrame(
+            [(c,) for c in sorted(check_names)], "check string")
+        grid = rows_per_ds.crossJoin(all_checks)
+        report = (grid.join(per_check, ["ds", "check"], "left")
+                  .withColumn("violation_count",
+                              F.coalesce("violation_count", F.lit(0)))
+                  .withColumn("passed", F.col("violation_count") == 0)
+                  .withColumn("detail", F.lit(None).cast("string"))
+                  .select("ds", "check", "passed", "violation_count",
+                          "rows_scanned", "detail"))
+
+        drift_rows: List[tuple] = []
+        if cfg.with_drift:
+            for rec in ks_drift(clips, "dur_ms", cfg.drift_baseline_ds, cfg.drift_alpha):
+                drift_rows.append((rec["ds"], rec["check"], bool(rec["passed"]),
+                                   0 if rec["passed"] else int(rec["rows"]),
+                                   int(rec["rows"]),
+                                   f"D={rec['statistic']:.6f} thr={rec['threshold']:.6f} "
+                                   f"baseline={rec['baseline_ds']}"))
+            for rec in chisq_drift(clips, "codec", cfg.drift_baseline_ds, cfg.drift_alpha):
+                drift_rows.append((rec["ds"], rec["check"], bool(rec["passed"]),
+                                   0 if rec["passed"] else int(rec["rows"]),
+                                   int(rec["rows"]),
+                                   f"chi2={rec['statistic']:.6f} thr={rec['threshold']:.6f} "
+                                   f"baseline={rec['baseline_ds']}"))
+        if drift_rows:
+            report = report.unionByName(
+                spark.createDataFrame(drift_rows, PARTITION_REPORT_SCHEMA))
+
+        metrics = (report.groupBy("ds").agg(
+            F.max("rows_scanned").alias("rows_scanned"),
+            F.sum("violation_count").alias("violations"),
+            F.count(F.lit(1)).alias("checks_run"),
+            F.sum(F.when(~F.col("passed"), 1).otherwise(0)).alias("checks_failed")))
+
+        return ValidationReport(violations=violations,
+                                partition_report=report,
+                                metrics=metrics)

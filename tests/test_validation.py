@@ -1,0 +1,78 @@
+"""Validation engine tests: exact-match of violations against the golden
+expectations of the dirty fixture (FIXTURES.md T3), drift detection on the
+shifted partition, audio decode pass/fail."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from drain3_spark import fixtures as FX
+from drain3_spark.validation.audio import audio_decode_results
+from drain3_spark.validation.drift import chisq_drift, ks_drift
+from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
+
+N = 600  # small but covers every defect kind (~2% defect rate)
+
+
+@pytest.fixture(scope="module")
+def dirty_tables(spark):
+    clips = FX.gen_clips(spark, N, dirty=True, dur_lo=200, dur_hi=1000).cache()
+    ref = FX.gen_transcripts_ref(spark, N, dirty=True, dur_lo=200, dur_hi=1000)
+    expected = FX.gen_expected_violations(spark, N, dur_lo=200, dur_hi=1000)
+    return clips, ref, expected
+
+
+def test_violations_exact_match(spark, dirty_tables):
+    clips, ref, expected = dirty_tables
+    engine = ValidationEngine(ValidationConfig(with_drift=False))
+    report = engine.validate(clips, ref)
+    key = ["clip_id", "ds", "check", "detail"]
+    got = {tuple(r) for r in report.violations.select(*key).collect()}
+    want = {tuple(r) for r in expected.select(*key).collect()}
+    assert want, "fixture should inject at least one of each defect"
+    assert got == want, (f"missing={sorted(want - got)[:5]} "
+                         f"extra={sorted(got - want)[:5]}")
+    report.violations.unpersist()
+
+
+def test_partition_report_and_metrics(spark, dirty_tables):
+    clips, ref, expected = dirty_tables
+    engine = ValidationEngine(ValidationConfig(drift_alpha=0.01))
+    report = engine.validate(clips, ref)
+    pr = report.partition_report.collect()
+    # the drift partition (last ds) must fail both drift checks
+    drift_ds = "2026-08-07"
+    drift = {r.check: r.passed for r in pr if r.ds == drift_ds and "drift" in r.check}
+    assert drift == {"drift_ks_dur_ms": False, "drift_chisq_codec": False}
+    # every other partition passes drift
+    other = [r for r in pr if r.ds not in (drift_ds, "2026-08-01") and "drift" in r.check]
+    assert other and all(r.passed for r in other)
+    # violation totals agree with the golden table
+    n_expected_with_ds = expected.filter(F.col("ds").isNotNull()).count()
+    got_total = sum(r.violation_count for r in pr if "drift" not in r.check)
+    assert got_total == n_expected_with_ds
+    m = {r.ds: r for r in report.metrics.collect()}
+    assert sum(r.rows_scanned for r in m.values()) == clips.count()
+    report.violations.unpersist()
+
+
+def test_audio_decode_results_clean(spark):
+    clips = FX.gen_clips(spark, 40, dirty=False, dur_lo=200, dur_hi=600)
+    res = audio_decode_results(clips).collect()
+    assert len(res) == 40
+    assert all(r.passed and r.snr_db >= 30.0 for r in res)
+
+
+def test_drift_clean_table_passes(spark):
+    clips = FX.gen_clips(spark, 400, dirty=False, dur_lo=200, dur_hi=1000)
+    for rec in (ks_drift(clips, "dur_ms", alpha=0.01)
+                + chisq_drift(clips, "codec", alpha=0.01)):
+        assert rec["passed"], rec
+
+
+def test_schema_check(spark):
+    clips = FX.gen_clips(spark, 10, dirty=False, dur_lo=200, dur_hi=400)
+    from drain3_spark.validation.checks import schema_violations
+    assert schema_violations(clips, FX.CLIPS_SCHEMA).count() == 0
+    bad = clips.drop("codec").withColumn("extra", F.lit(1))
+    got = {r.detail for r in schema_violations(bad, FX.CLIPS_SCHEMA).collect()}
+    assert got == {"missing column codec", "unexpected column extra"}
