@@ -1,38 +1,518 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship template-mining query; ``queries`` exposes
+one entry per implemented operator family (SURVEY.md §2 + the
+training-data pipeline ops); ``oracle_sql`` gives the DuckDB-equivalent
+ANSI SQL for every SQL-expressible query.  Sequential-algorithm
+operators (template mining, kernel match, SimHash bit ops, IVF probing,
+audio validation on synthesized payloads) have no SQL oracle — the
+driver records rows-only checks for those.
+
+All floating-point outputs are rounded to 6 decimals on BOTH sides so
+engine-order-of-addition differences don't break the value hash, and
+every computed column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+NUM_MASK_PATTERN = r"\d+"          # shared Spark/RE2-safe mask regex
+BPE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text as the transcript corpus with a sortable order key."""
+    return (_t(spark, sf_dir, "documents")
+            .select(F.col("source").alias("ds"),
+                    F.format_string("doc-%012d", F.col("doc_id")).alias("clip_id"),
+                    F.col("text").alias("transcript")))
+
+
+# ======================================================================
+# flagship
+# ======================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: mine transcript templates from the documents corpus and
+    return the learned cluster table (SURVEY.md §3.1 lifecycle)."""
+    from drain3_spark.config import EngineConfig
+    from drain3_spark.operators.mining import mine_templates
+    res = mine_templates(_docs_as_clips(spark, SF_DEFAULT),
+                         EngineConfig(mining_mode="exact"),
+                         order_cols=("ds", "clip_id"))
+    return res.clusters.select("cluster_id", "token_count", "template", "size") \
+        .orderBy("cluster_id")
+
+
+# ======================================================================
+# queries
+# ======================================================================
+
+def _q1_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("l_orderkey").alias("n_orders")))
+
+
+def _q2_top_customers(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy(F.desc("revenue"), "c_custkey").limit(10))
+
+
+def _q3_window_running(spark, sf):
+    from pyspark.sql import Window as W
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.select("event_id", "user_id",
+                     F.round(F.sum("value").over(w), 4).alias("running_value"),
+                     F.row_number().over(w).alias("rn")))
+
+
+def _q4_mask_tokenize(spark, sf):
+    d = _t(spark, sf, "documents")
+    masked = F.regexp_replace(F.col("text"), NUM_MASK_PATTERN, "<NUM>")
+    toks = F.filter(F.split(F.trim(masked), r"\s+"), lambda t: t != "")
+    return d.select("doc_id", masked.alias("masked"),
+                    F.size(toks).alias("tokens_ws"),
+                    F.size(F.regexp_extract_all(
+                        F.col("text"), F.lit(BPE_TOKEN), F.lit(0))).alias("tokens_bpe"))
+
+
+def _q5_group_key(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    first = F.element_at(toks, 1)
+    canon = F.when(first.rlike(r"\d"), F.lit("<*>")).otherwise(first)
+    return (d.select(F.size(toks).alias("token_count"), canon.alias("prefix_key"))
+            .groupBy("token_count", "prefix_key")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _q6_mine_templates(spark, sf):
+    from drain3_spark.config import EngineConfig
+    from drain3_spark.operators.mining import mine_templates
+    res = mine_templates(_docs_as_clips(spark, sf), EngineConfig(mining_mode="exact"))
+    return res.clusters.select("cluster_id", "token_count", "template", "size")
+
+
+def _q7_match_inference(spark, sf):
+    from drain3_spark.config import EngineConfig
+    from drain3_spark.operators.mining import mine_templates
+    from drain3_spark.operators.matching import match_clusters_sql
+    cfg = EngineConfig(mining_mode="exact")
+    clips = _docs_as_clips(spark, sf)
+    res = mine_templates(clips, cfg)
+    out = match_clusters_sql(clips, res.clusters, cfg)
+    return out.select("clip_id", "matched_cluster_id")
+
+
+def _q8_json_extract(spark, sf):
+    e = _t(spark, sf, "events")
+    return (e.select("event_id",
+                     F.get_json_object("props", "$.k").cast("long").alias("k_val"))
+            .groupBy("k_val").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q9_uniqueness(spark, sf):
+    e = _t(spark, sf, "events")
+    return (e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+            .filter(F.col("n_events") > 1))
+
+
+def _q10_referential(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def _q11_column_stats(spark, sf):
+    e = _t(spark, sf, "events")
+    return (e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+        F.round(F.avg("value"), 4).alias("v_avg"),
+        F.round(F.avg(F.col("props").isNull().cast("double")), 6)
+        .alias("props_null_rate")))
+
+
+_CHISQ_SQL = """
+with h as (
+  select {day} as d, event_type, count(*) as n from {events} group by 1, 2
+), tot as (
+  select d, sum(n) as tn from h group by 1
+), base as (
+  select event_type, n from h where d = (select min(d) from h)
+), bt as (
+  select sum(n) as btn from base
+)
+select t.d,
+       round(sum(pow(coalesce(h.n, 0) - t.tn * b.n / bt.btn, 2)
+                 / (t.tn * b.n / bt.btn)), 4) as chi2
+from base b
+cross join bt
+cross join tot t
+left join h on h.d = t.d and h.event_type = b.event_type
+where t.d <> (select min(d) from h)
+group by t.d
+"""
+
+_KS_SQL = """
+with ev as (
+  select {day} as d, value from {events}
+), counts as (
+  select d, value, count(*) as n from ev group by 1, 2
+), tot as (
+  select d, sum(n) as tn from counts group by 1
+), grid as (
+  select b.d, s.value from (select distinct d from ev) b
+  cross join (select distinct value from ev) s
+), cum as (
+  select g.d, g.value,
+         sum(coalesce(c.n, 0)) over (partition by g.d order by g.value)
+           * 1.0 / t.tn as cdf
+  from grid g
+  left join counts c on c.d = g.d and c.value = g.value
+  join tot t on t.d = g.d
+), base as (
+  select value, cdf as cdf0 from cum where d = (select min(d) from cum)
+)
+select cum.d, round(max(abs(cum.cdf - base.cdf0)), 6) as ks_d
+from cum join base on base.value = cum.value
+where cum.d <> (select min(d) from cum)
+group by cum.d
+"""
+
+
+def _q12_drift_chisq(spark, sf):
+    _t(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(_CHISQ_SQL.format(
+        day="date_format(ts, 'yyyy-MM-dd')", events="events"))
+
+
+def _q13_drift_ks(spark, sf):
+    _t(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(_KS_SQL.format(
+        day="date_format(ts, 'yyyy-MM-dd')", events="events"))
+
+
+def _q14_dedup_exact(spark, sf):
+    from drain3_spark.pipeline.text import fingerprint_md5
+    d = _t(spark, sf, "documents")
+    return (d.select("source", fingerprint_md5(F.col("text")).alias("fp"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("fp").alias("n_distinct")))
+
+
+def _q15_jaccard_pairs(spark, sf):
+    from drain3_spark.pipeline.dedup import jaccard_pairs
+    d = _t(spark, sf, "documents")
+    return jaccard_pairs(d, k=3, threshold=0.05, block_col="source")
+
+
+def _q16_minhash(spark, sf):
+    from drain3_spark.pipeline.dedup import minhash_signatures
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return minhash_signatures(d, k=3, num_hashes=8).withColumnRenamed("id", "doc_id")
+
+
+def _q17_fingerprint(spark, sf):
+    from drain3_spark.pipeline.text import fingerprint64, fingerprint_md5
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp_md5"),
+                    fingerprint64(F.col("text")).alias("fp64"))
+
+
+def _q18_simhash(spark, sf):
+    from drain3_spark.pipeline.dedup import simhash64
+    d = _t(spark, sf, "documents")
+    return simhash64(d).withColumnRenamed("id", "doc_id")
+
+
+def _q19_text_quality(spark, sf):
+    from drain3_spark.pipeline.text import quality_score, token_count_ws
+    d = _t(spark, sf, "documents")
+    return (d.select("source", quality_score(F.col("text")).alias("q"),
+                     token_count_ws(F.col("text")).alias("tws"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("q"), 4).alias("avg_quality"),
+                 F.round(F.avg("tws"), 4).alias("avg_tokens")))
+
+
+def _q20_lang_id(spark, sf):
+    from drain3_spark.pipeline.text import lang_id
+    d = _t(spark, sf, "documents")
+    return (d.select("source", lang_id(F.col("text")).alias("lang_pred"))
+            .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _q21_ann_cosine(spark, sf):
+    from drain3_spark.pipeline.similarity import cosine_topk
+    emb = _t(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, query, k=10)
+
+
+def _q22_embedding_neardup(spark, sf):
+    from drain3_spark.pipeline.similarity import cosine_near_dup_pairs
+    emb = _t(spark, sf, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.35, block_col="label")
+
+
+def _q23_ivf_ann(spark, sf):
+    from drain3_spark.pipeline.similarity import ivf_topk
+    emb = _t(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    return ivf_topk(emb, query, k=10, num_centroids=8, probes=4)
+
+
+def _q24_audio_validation(spark, sf):
+    from drain3_spark import fixtures as FX
+    from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
+    clips = FX.gen_clips(spark, 400, dirty=True, dur_lo=200, dur_hi=600)
+    ref = FX.gen_transcripts_ref(spark, 400, dirty=True, dur_lo=200, dur_hi=600)
+    engine = ValidationEngine(ValidationConfig(with_drift=False))
+    v = engine.violations(clips, ref)
+    return v.groupBy("check").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q25_audio_features(spark, sf):
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.multimodal import audio_features
+    clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600)
+    feats = audio_features(clips)
+    return (feats.agg(F.count(F.lit(1)).alias("n_clips"),
+                      F.round(F.avg("rms"), 4).alias("avg_rms"),
+                      F.round(F.avg("duration_s"), 4).alias("avg_dur"),
+                      F.sum("zero_crossings").alias("total_zc")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing,
+        "q2_top_customers": _q2_top_customers,
+        "q3_window_running": _q3_window_running,
+        "q4_mask_tokenize": _q4_mask_tokenize,
+        "q5_group_key": _q5_group_key,
+        "q6_mine_templates": _q6_mine_templates,
+        "q7_match_inference": _q7_match_inference,
+        "q8_json_extract": _q8_json_extract,
+        "q9_uniqueness": _q9_uniqueness,
+        "q10_referential": _q10_referential,
+        "q11_column_stats": _q11_column_stats,
+        "q12_drift_chisq": _q12_drift_chisq,
+        "q13_drift_ks": _q13_drift_ks,
+        "q14_dedup_exact": _q14_dedup_exact,
+        "q15_jaccard_pairs": _q15_jaccard_pairs,
+        "q16_minhash": _q16_minhash,
+        "q17_fingerprint": _q17_fingerprint,
+        "q18_simhash": _q18_simhash,
+        "q19_text_quality": _q19_text_quality,
+        "q20_lang_id": _q20_lang_id,
+        "q21_ann_cosine": _q21_ann_cosine,
+        "q22_embedding_neardup": _q22_embedding_neardup,
+        "q23_ivf_ann": _q23_ivf_ann,
+        "q24_audio_validation": _q24_audio_validation,
+        "q25_audio_features": _q25_audio_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ======================================================================
+# oracle SQL (DuckDB dialect) — omit for non-SQL-expressible operators
+# ======================================================================
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_SHINGLES = f"""
+norm as (select doc_id, source, {_NORM} as t from documents),
+toks as (select doc_id, source, string_split(t, ' ') as w from norm),
+sh as (
+  select distinct doc_id, source,
+         array_to_string(w[i:i+2], ' ') as shingle
+  from toks, lateral (
+    select unnest(generate_series(1, greatest(len(w) - 2, 1))) as i)
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    lang_case = """
+      case when greatest(s_en, s_de, s_fr, s_es) = 0 then 'und'
+           when s_en >= greatest(s_de, s_fr, s_es) then 'en'
+           when s_de >= greatest(s_fr, s_es) then 'de'
+           when s_es >= s_fr then 'es'
+           else 'fr' end
     """
-    return {}
+    quality = """
+      round(greatest(least(
+        (case when length(text) between 20 and 5000 then 0.4
+              when length(text) > 5000 then 0.2 else 0.0 end)
+        + least(case when length(text) > 0
+                     then length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          * 1.0 / length(text) else 0.0 end * 0.4, 0.4)
+        + (case when len(regexp_extract_all(text,
+                 '(?i)\\b(the|and|of|to|is|that|for|with)\\b')) > 0
+                then 0.2 else 0.0 end)
+        - least(case when length(text) > 0
+                     then length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                          * 1.0 / length(text) else 0.0 end, 0.3)
+      , 1.0), 0.0), 6)
+    """
+    return {
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) as sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue,
+                   count(*) as n_rows,
+                   count(distinct l_orderkey) as n_orders
+            from lineitem
+            group by l_returnflag, l_linestatus""",
+        "q2_top_customers": """
+            select c_custkey, c_name,
+                   round(sum(o_totalprice), 4) as revenue,
+                   count(*) as n_orders
+            from orders join customer on o_custkey = c_custkey
+            group by c_custkey, c_name
+            order by revenue desc, c_custkey limit 10""",
+        "q3_window_running": """
+            select event_id, user_id,
+                   round(sum(value) over (partition by user_id
+                                          order by ts, event_id), 4) as running_value,
+                   row_number() over (partition by user_id
+                                      order by ts, event_id) as rn
+            from events""",
+        "q4_mask_tokenize": r"""
+            select doc_id,
+                   regexp_replace(text, '\d+', '<NUM>', 'g') as masked,
+                   len(list_filter(regexp_split_to_array(
+                       trim(regexp_replace(text, '\d+', '<NUM>', 'g')), '\s+'),
+                       x -> x != '')) as tokens_ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as tokens_bpe
+            from documents""",
+        "q5_group_key": r"""
+            with toks as (
+              select list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x != '') as w
+              from documents)
+            select len(w) as token_count,
+                   case when regexp_matches(w[1], '\d') then '<*>'
+                        else w[1] end as prefix_key,
+                   count(*) as n_docs
+            from toks group by 1, 2""",
+        "q8_json_extract": """
+            select cast(json_extract_string(props, '$.k') as bigint) as k_val,
+                   count(*) as n
+            from events group by 1""",
+        "q9_uniqueness": """
+            select user_id, count(*) as n_events
+            from events group by user_id having count(*) > 1""",
+        "q10_referential": """
+            select c_custkey, c_name from customer
+            where not exists (select 1 from orders where o_custkey = c_custkey)""",
+        "q11_column_stats": """
+            select event_type, count(*) as n,
+                   round(min(value), 6) as v_min,
+                   round(max(value), 6) as v_max,
+                   round(avg(value), 4) as v_avg,
+                   round(avg(case when props is null then 1.0 else 0.0 end), 6)
+                     as props_null_rate
+            from events group by event_type""",
+        "q12_drift_chisq": _CHISQ_SQL.format(
+            day="strftime(ts, '%Y-%m-%d')", events="events"),
+        "q13_drift_ks": _KS_SQL.format(
+            day="strftime(ts, '%Y-%m-%d')", events="events"),
+        "q14_dedup_exact": f"""
+            select source, count(*) as n_docs,
+                   count(distinct md5({_NORM})) as n_distinct
+            from documents group by source""",
+        "q15_jaccard_pairs": f"""
+            with {_SHINGLES},
+            sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+            common as (
+              select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_common
+              from sh a join sh b
+                on a.shingle = b.shingle and a.source = b.source
+               and a.doc_id < b.doc_id
+              group by 1, 2)
+            select id_a, id_b,
+                   round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6)
+                     as jaccard
+            from common
+            join sizes sa on sa.doc_id = id_a
+            join sizes sb on sb.doc_id = id_b
+            where n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.05""",
+        "q16_minhash": f"""
+            with {_SHINGLES},
+            seeds as (select unnest(generate_series(0, 7)) as seed)
+            select sh.doc_id, seeds.seed,
+                   min(md5(sh.shingle || '#' || seeds.seed::varchar)) as minhash
+            from sh cross join seeds
+            where sh.doc_id < 50
+            group by 1, 2""",
+        "q17_fingerprint": f"""
+            select doc_id, md5({_NORM}) as fp_md5,
+                   ('0x' || substr(md5({_NORM}), 1, 15))::bigint as fp64
+            from documents""",
+        "q19_text_quality": f"""
+            with t as (
+              select source, {quality} as q,
+                     len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                     x -> x != '')) as tws
+              from documents)
+            select source, count(*) as n_docs,
+                   round(avg(q), 4) as avg_quality,
+                   round(avg(tws), 4) as avg_tokens
+            from t group by source""",
+        "q20_lang_id": f"""
+            with s as (
+              select len(regexp_extract_all(text,
+                     '(?i)\\b(the|and|of|to|is|that|for|with)\\b')) as s_en,
+                     len(regexp_extract_all(text,
+                     '(?i)\\b(der|die|das|und|ist|nicht|ein|zu)\\b')) as s_de,
+                     len(regexp_extract_all(text,
+                     '(?i)\\b(le|la|les|et|est|une|dans|pour)\\b')) as s_fr,
+                     len(regexp_extract_all(text,
+                     '(?i)\\b(el|los|las|es|una|que|por|como)\\b')) as s_es
+              from documents)
+            select {lang_case} as lang_pred, count(*) as n_docs
+            from s group by 1""",
+        "q21_ann_cosine": """
+            with q as (select embedding as qv from embeddings where vec_id = 0)
+            select vec_id,
+                   round(list_cosine_similarity(embedding::double[], qv::double[]), 6)
+                     as cosine
+            from embeddings, q
+            order by cosine desc, vec_id limit 10""",
+        "q22_embedding_neardup": """
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(list_cosine_similarity(a.embedding::double[],
+                                                b.embedding::double[]), 6) as cosine
+            from embeddings a join embeddings b
+              on a.label = b.label and a.vec_id < b.vec_id
+            where list_cosine_similarity(a.embedding::double[],
+                                         b.embedding::double[]) >= 0.35""",
+    }

@@ -1,0 +1,125 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Runs the headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "clips_per_sec": ..., "clips_validated": ...}
+
+The clips-validation throughput (the BASELINE.json north metric) times
+the full check family — row-local, uniqueness, referential+equality,
+audio decode, drift, template mining — over a deterministic synthetic
+clips table generated once to parquet (generation excluded from the
+timing).  Bench-tier clips use short payloads (20-60 ms) so the table
+fits the sandbox; the per-clip work mix is unchanged (every byte is
+still decoded and SNR-checked).
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``tools/bench_scaling.py`` and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "200000"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from drain3_spark import fixtures as FX
+    from drain3_spark.session import get_spark
+    from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
+
+    spark = get_spark("drain3_spark_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+
+    # warm up the JVM/codegen path so the first timed query isn't
+    # charged for session initialization
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- headline operator queries over the driver testdata ----
+    qs = entry.queries()
+    headline = ["q1_pricing_summary", "q3_window_running", "q4_mask_tokenize",
+                "q6_mine_templates", "q7_match_inference", "q12_drift_chisq",
+                "q13_drift_ks", "q15_jaccard_pairs", "q18_simhash",
+                "q21_ann_cosine", "q22_embedding_neardup"]
+    for name in headline:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    # ---- clips validation throughput (north metric) ----
+    work = "/tmp/drain3_spark_bench_clips"
+    clips_path = f"{work}/clips_{n_clips}"
+    ref_path = f"{work}/ref_{n_clips}"
+    if not os.path.exists(clips_path + "/_SUCCESS"):
+        FX.gen_clips(spark, n_clips, dirty=True, dur_lo=20, dur_hi=60,
+                     partitions=cpus * 2) \
+            .write.mode("overwrite").partitionBy("ds").parquet(clips_path)
+        FX.gen_transcripts_ref(spark, n_clips, dirty=True, dur_lo=20, dur_hi=60,
+                               partitions=cpus * 2) \
+            .write.mode("overwrite").parquet(ref_path)
+    clips = spark.read.parquet(clips_path)
+    ref = spark.read.parquet(ref_path)
+
+    # bench clips are 20-60 ms; bounds must admit them or the audio
+    # decode pass would skip every row (and everything flags dur_bounds)
+    engine = ValidationEngine(ValidationConfig(drift_alpha=0.01,
+                                               dur_bounds=(10, 5000)))
+
+    def run_validation():
+        report = engine.validate(clips, ref)
+        n_viol = report.violations.count()
+        n_report = report.partition_report.count()
+        report.violations.unpersist()
+        return n_viol, n_report
+
+    t0 = time.time()
+    n_viol, _ = run_validation()
+    # template mining over the transcript column is part of "validated"
+    from drain3_spark.config import EngineConfig
+    from drain3_spark.operators.mining import mine_templates
+    mined = mine_templates(clips, EngineConfig(mining_mode="scalable"))
+    n_clusters = mined.clusters.count()
+    mined.unpersist()
+    validate_sec = time.time() - t0
+    timings["validate_clips"] = round(validate_sec, 3)
+    clips_per_sec = round(n_clips / validate_sec, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_operator_suite_plus_clip_validation",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "clips_validated": n_clips,
+        "clips_per_sec": clips_per_sec,
+        "violations_found": n_viol,
+        "clusters_mined": n_clusters,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

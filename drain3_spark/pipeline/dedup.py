@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each scale-shaped for Spark:
+
+* exact        — one hash aggregation on a content fingerprint
+* n-gram Jaccard — explode shingles → self-join within blocks →
+                   count-based Jaccard (the join formulation beats
+                   array-intersection at scale: shuffle is on shingle,
+                   pairs never materialize outside matching blocks)
+* MinHash+LSH  — K md5-min signatures → band keys → bucket join →
+                   candidate pairs verified by true Jaccard
+* SimHash      — 64-bit sign-aggregated token hashes, near-dups by
+                   hamming distance within identical high-bit bands
+* embedding    — cosine near-dups within label blocks (see similarity)
+
+Hashes are md5-based so the DuckDB oracle reproduces them bit-exactly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from drain3_spark.pipeline.text import fingerprint_md5, normalize_text
+
+
+# --------------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents; keeper = min id."""
+    return (df
+            .select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("content_hash"))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("keeper_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+# ------------------------------------------------------------------ shingles
+
+def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 3) -> DataFrame:
+    """(id, shingle) rows: distinct k-gram word shingles of the
+    normalized text.  Documents shorter than k words contribute their
+    whole text as a single shingle."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(shingles)).alias("shingle")))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 3, threshold: float = 0.7,
+                  block_col: Optional[str] = None) -> DataFrame:
+    """Near-duplicate pairs by k-gram Jaccard >= threshold.
+
+    explode → self-join on shingle (within ``block_col`` if given) →
+    per-pair common count; |A∪B| from per-doc distinct counts.  Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = shingle_rows(df, id_col, text_col, k)
+    if block_col:
+        blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("_blk"))
+        sh = sh.join(blocks, "id")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("id").alias("id_a"), "shingle",
+                  *([F.col("_blk")] if block_col else []))
+    b = sh.select(F.col("id").alias("id_b"), "shingle",
+                  *([F.col("_blk").alias("_blk_b")] if block_col else []))
+    cond = [a.shingle == b.shingle, a.id_a < b.id_b]
+    if block_col:
+        cond.append(F.col("_blk") == F.col("_blk_b"))
+    common = (a.join(b, cond)
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    out = (common
+           .join(sizes.select(F.col("id").alias("id_a"),
+                              F.col("n_sh").alias("n_a")), "id_a")
+           .join(sizes.select(F.col("id").alias("id_b"),
+                              F.col("n_sh").alias("n_b")), "id_b")
+           .withColumn("jaccard",
+                       F.round(F.col("n_common")
+                               / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+# ------------------------------------------------------------------- minhash
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       num_hashes: int = 16) -> DataFrame:
+    """(id, seed, minhash) — K permutations simulated by min over
+    ``md5(shingle || '#' || seed)`` (string min; identical in any SQL
+    engine, no platform hash dependence)."""
+    sh = shingle_rows(df, id_col, text_col, k)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (sh.select("id", "shingle", seeds)
+            .groupBy("id", "seed")
+            .agg(F.min(F.md5(F.concat_ws("#", "shingle",
+                                         F.col("seed").cast("string"))))
+                 .alias("minhash")))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Band key = md5 of the band's concatenated minhashes; the bucket join
+    shuffles on the band key only — no all-pairs blowup."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = (sig
+              .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+              .groupBy("id", "band")
+              .agg(F.md5(F.concat_ws("|", F.array_sort(
+                  F.collect_list(F.concat_ws(":", F.col("seed").cast("string"),
+                                             "minhash"))))).alias("band_key")))
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
+    return (a.join(b, ["band", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def minhash_lsh_duplicates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 3,
+                           num_hashes: int = 16, bands: int = 4,
+                           threshold: float = 0.7) -> DataFrame:
+    """LSH candidates verified by true Jaccard (two-stage: cheap bucket
+    join prunes the pair space, exact verify keeps precision)."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, k, num_hashes, bands)
+    true_pairs = jaccard_pairs(df, id_col, text_col, k, threshold=0.0)
+    return (cand.join(true_pairs, ["id_a", "id_b"])
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ------------------------------------------------------------------- simhash
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens: per-bit sign of the sum of
+    (+1/-1) votes from each token's md5 bits.  Explode + aggregate —
+    no UDF, no all-pairs."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(normalize_text(F.col(text_col)), " "))
+                      .alias("tok")))
+    # token hash: first 16 hex chars of md5 -> 64 bits (as bigint via conv)
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    bits = toks.select("id", *[
+        (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        .alias(f"b{i}") for i in range(60)])
+    agg = bits.groupBy("id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(60)])
+    sim = agg.select("id", sum(
+        [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+         for i in range(60)], F.lit(0)).cast("long").alias("simhash"))
+    return sim
+
+
+def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", band_bits: int = 15) -> DataFrame:
+    """Near-dup candidates: identical simhash within any of 4 bands of
+    ``band_bits`` bits (classic rotation trick), verified by hamming
+    distance <= 3."""
+    sim = simhash64(df, id_col, text_col)
+    parts = []
+    for band in range(4):
+        key = F.shiftright(F.col("simhash"),
+                           band * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1))
+        parts.append(sim.select("id", "simhash", F.lit(band).alias("band"),
+                                key.alias("band_key")))
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
+                      "band", "band_key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
+                      "band", "band_key")
+    pairs = (a.join(b, ["band", "band_key"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = sum([F.shiftright(xor, i).bitwiseAND(F.lit(1))
+                   for i in range(60)], F.lit(0))
+    return (pairs.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= 3)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,124 @@
+"""Training-data pipeline operators over the driver testdata tables."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from drain3_spark.pipeline import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_text_stats(spark, docs):
+    out = text.with_text_stats(docs).collect()
+    assert all(r.tokens_ws >= 0 and r.tokens_bpe >= r.tokens_ws * 0 for r in out)
+    assert all(0.0 <= r.quality <= 1.0 for r in out)
+    assert all(len(r.fingerprint) == 32 for r in out)
+    langs = {r.lang_pred for r in out}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+    # duckdb cross-check of the whitespace token count
+    con = duckdb.connect()
+    dd = con.sql(f"""
+        select doc_id, len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                       x -> x != '')) as t
+        from parquet_scan('{SF_DIR}/documents.parquet')""").df()
+    got = {r.doc_id: r.tokens_ws for r in out}
+    for _, row in dd.iterrows():
+        assert got[row.doc_id] == row.t, row.doc_id
+
+
+def test_exact_duplicates(spark, docs):
+    dup_src = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text").limit(5))
+    groups = dedup.exact_duplicates(dup_src).collect()
+    assert len(groups) == 5
+    assert all(g.n_docs == 2 and g.keeper_id < 100000 for g in groups)
+
+
+def test_jaccard_and_minhash(spark, docs):
+    dup_src = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text").limit(5))
+    jp = dedup.jaccard_pairs(dup_src, threshold=0.99).collect()
+    exact_pairs = {(r.id_a, r.id_b) for r in jp}
+    assert {(i, i + 100000) for i in range(5)} <= exact_pairs
+
+    mh = dedup.minhash_lsh_duplicates(dup_src, threshold=0.99).collect()
+    mh_pairs = {(r.id_a, r.id_b) for r in mh}
+    # LSH candidates + exact verify must find all identical-doc pairs
+    assert {(i, i + 100000) for i in range(5)} <= mh_pairs
+    assert mh_pairs <= exact_pairs
+
+
+def test_simhash(spark, docs):
+    dup_src = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text").limit(3))
+    out = dedup.simhash_duplicates(dup_src).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out}
+    for i in range(3):
+        assert pairs.get((i, i + 100000)) == 0
+
+
+def test_cosine_topk_vs_duckdb(spark, emb):
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    got = similarity.cosine_topk(emb, query, k=5).collect()
+    assert got[0].vec_id == 0 and abs(got[0].cosine - 1.0) < 1e-6
+    con = duckdb.connect()
+    want = con.sql(f"""
+        with q as (select embedding as qv from parquet_scan('{SF_DIR}/embeddings.parquet')
+                   where vec_id = 0)
+        select vec_id, round(list_cosine_similarity(embedding::double[], qv::double[]), 6) as cosine
+        from parquet_scan('{SF_DIR}/embeddings.parquet'), q
+        order by cosine desc, vec_id limit 5""").fetchall()
+    assert [(r.vec_id, round(r.cosine, 5)) for r in got] == \
+        [(v, round(c, 5)) for v, c in want]
+
+
+def test_ivf_topk_recall(spark, emb):
+    query = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    brute = [r.vec_id for r in similarity.cosine_topk(emb, query, k=10).collect()]
+    approx = [r.vec_id for r in
+              similarity.ivf_topk(emb, query, k=10, num_centroids=8,
+                                  probes=4).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.3, (brute, approx)  # probing half the buckets
+    assert 7 in approx  # the query vector itself must be found
+
+
+def test_embedding_near_dup(spark, emb):
+    dup = emb.unionByName(
+        emb.filter(F.col("vec_id") < 3)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"))
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in similarity.cosine_near_dup_pairs(dup, threshold=0.999).collect()}
+    for i in range(3):
+        assert abs(pairs[(i, i + 100000)] - 1.0) < 1e-5
+
+
+def test_multimodal_plumbing(spark):
+    from drain3_spark import fixtures as FX
+    clips = FX.gen_clips(spark, 20, dur_lo=200, dur_hi=400)
+    feats = multimodal.audio_features(clips).collect()
+    assert len(feats) == 20
+    assert all(f.n_samples > 0 and 0 < f.rms < 1 and f.zero_crossings > 0
+               for f in feats)
+
+    items = clips.select(F.col("clip_id").alias("item_id"),
+                         F.col("bytes").alias("payload"))
+    hist = multimodal.image_features(items, fake_decoder=True).collect()
+    assert len(hist) == 20
+    assert all(abs(sum(h.histogram) - 1.0) < 1e-9 for h in hist)
+
+    with pytest.raises(Exception) as ei:
+        multimodal.image_features(items, fake_decoder=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)

@@ -1,0 +1,97 @@
+"""Two-cluster-size scaling evidence (BASELINE.md §3).
+
+Runs the SAME clips-validation job on the SAME input at two local
+parallelism levels (local[8] standing in for N executors, local[32] for
+4N) in separate subprocesses (fresh JVM each — no warm-cache bleed),
+then reports throughput at both plus the scaling efficiency:
+
+    efficiency = (clips_sec_32 / clips_sec_8) / (32 / 8)
+
+Usage: python tools/bench_scaling.py [n_clips]
+Appends a markdown row suitable for BASELINE.md and prints JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from drain3_spark.session import get_spark
+from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
+from drain3_spark.operators.mining import mine_templates
+from drain3_spark.config import EngineConfig
+
+cpus = int(sys.argv[1]); clips_path = sys.argv[2]; ref_path = sys.argv[3]
+spark = get_spark("scaling_%%d" %% cpus, master="local[%%d]" %% cpus,
+                  shuffle_partitions=max(cpus * 2, 16))
+clips = spark.read.parquet(clips_path)
+ref = spark.read.parquet(ref_path)
+n = clips.count()  # warm the scan metadata, outside the timed region
+
+engine = ValidationEngine(ValidationConfig(drift_alpha=0.01, dur_bounds=(10, 5000)))
+t0 = time.time()
+report = engine.validate(clips, ref)
+n_viol = report.violations.count()
+report.partition_report.count()
+report.violations.unpersist()
+mined = mine_templates(clips, EngineConfig(mining_mode="scalable"))
+n_clusters = mined.clusters.count()
+mined.unpersist()
+dt = time.time() - t0
+print(json.dumps({"cpus": cpus, "rows": n, "sec": round(dt, 2),
+                  "clips_per_sec": round(n / dt, 1),
+                  "violations": n_viol, "clusters": n_clusters}))
+"""
+
+
+def main() -> None:
+    n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
+    work = "/tmp/drain3_spark_scaling"
+    clips_path = f"{work}/clips_{n_clips}"
+    ref_path = f"{work}/ref_{n_clips}"
+
+    if not os.path.exists(clips_path + "/_SUCCESS"):
+        sys.path.insert(0, REPO)
+        from drain3_spark import fixtures as FX
+        from drain3_spark.session import get_spark
+        spark = get_spark("scaling_gen", master="local[32]")
+        FX.gen_clips(spark, n_clips, dirty=True, dur_lo=20, dur_hi=60,
+                     partitions=64) \
+            .write.mode("overwrite").partitionBy("ds").parquet(clips_path)
+        FX.gen_transcripts_ref(spark, n_clips, dirty=True, dur_lo=20, dur_hi=60,
+                               partitions=64) \
+            .write.mode("overwrite").parquet(ref_path)
+        spark.stop()
+
+    worker = _WORKER % {"repo": REPO}
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run([sys.executable, "-c", worker, str(cpus),
+                              clips_path, ref_path],
+                             capture_output=True, text=True, timeout=3600)
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {results[cpus]}")
+
+    eff = (results[32]["clips_per_sec"] / results[8]["clips_per_sec"]) / (32 / 8)
+    same_out = (results[8]["violations"] == results[32]["violations"]
+                and results[8]["clusters"] == results[32]["clusters"])
+    summary = {"n_clips": n_clips,
+               "clips_per_sec_local8": results[8]["clips_per_sec"],
+               "clips_per_sec_local32": results[32]["clips_per_sec"],
+               "scaling_efficiency": round(eff, 3),
+               "identical_outputs": same_out}
+    print(json.dumps(summary))
+    print(f"\n| {n_clips} | {results[8]['clips_per_sec']} | "
+          f"{results[32]['clips_per_sec']} | {round(eff, 3)} | {same_out} |")
+
+
+if __name__ == "__main__":
+    main()
