@@ -99,7 +99,7 @@ def main() -> None:
     # template mining over the transcript column is part of "validated"
     from drain3_spark.config import EngineConfig
     from drain3_spark.operators.mining import mine_templates
-    mined = mine_templates(clips, EngineConfig(mining_mode="scalable"))
+    mined = mine_templates(clips, EngineConfig(mining_mode="scalable", mining_salt=32))
     n_clusters = mined.clusters.count()
     mined.unpersist()
     validate_sec = time.time() - t0

@@ -54,6 +54,13 @@ class EngineConfig:
     #   group; much higher parallelism, documented approximation of the
     #   reference's cross-prefix wildcard fallback (drain3/drain.py:313-314).
     mining_mode: str = "exact"
+    # mining_salt > 1 splits each mining group into salt banks folded in
+    # parallel, then reconciles bank templates in a driver-side merge
+    # (the two-phase mine+merge of SURVEY.md §7; template merge is
+    # associative, drain3/drain.py:415-425).  Assignment-time sizes and
+    # change types become bank-local — a documented approximation for
+    # hot-group scalability; cluster table results stay deterministic.
+    mining_salt: int = 1
     shuffle_partitions: int = 32
     arrow_max_records_per_batch: int = 2048
 

@@ -48,34 +48,44 @@ def match_clusters_sql(df: DataFrame,
     toks = tokens_col(masked, cfg.extra_delimiters)
     lhs = df.withColumn("_tokens", toks).withColumn("_tc", F.size("_tokens"))
 
+    # fold the (small) cluster table into one candidate array per token
+    # count, so inference is broadcast-join + array argmax: ZERO shuffle
+    # of the big side, nothing but the join key and tokens computed per row
     rhs = (clusters
-           .select(F.col("cluster_id").alias("_cid"),
-                   F.col("token_count").alias("_ctc"),
-                   F.when(F.col("template") == "", F.array().cast("array<string>"))
-                    .otherwise(F.split(F.col("template"), " ")).alias("_tpl")))
+           .select(F.col("token_count").alias("_ctc"),
+                   F.struct(
+                       F.col("cluster_id").alias("cid"),
+                       F.when(F.col("template") == "",
+                              F.array().cast("array<string>"))
+                       .otherwise(F.split(F.col("template"), " ")).alias("tpl"),
+                   ).alias("_cand"))
+           .groupBy("_ctc")
+           .agg(F.collect_list("_cand").alias("_cands")))
 
-    tpl, mtoks = F.col("_tpl"), F.col("_tokens")
-    perfect = F.forall(F.zip_with(tpl, mtoks, lambda a, b: (a == F.lit(w)) | (a == b)),
-                       lambda x: x)
-    wild_count = F.size(F.filter(tpl, lambda t: t == F.lit(w)))
+    mtoks = F.col("_tokens")
 
-    joined = (lhs.join(F.broadcast(rhs), F.col("_tc") == F.col("_ctc"), "left")
-              .withColumn("_ok", F.when(F.col("_cid").isNotNull(), perfect))
-              .withColumn("_wc", F.when(F.col("_ok"), wild_count)))
-    # reference argmax keeps the highest (sim, param_count); all perfect
-    # matches tie on sim, so rank by wildcard count, then stable id
-    best = (joined
-            .groupBy(*df.columns)
-            .agg(F.max_by(
-                F.struct(F.col("_cid").alias("cluster_id"),
-                         F.concat_ws(" ", F.col("_tpl")).alias("template")),
-                F.when(F.col("_ok"),
-                       F.struct(F.col("_wc").alias("w"),
-                                (-F.col("_cid")).alias("i")))).alias("_m")))
-    return (best
-            .withColumn("matched_cluster_id", F.col("_m.cluster_id"))
-            .withColumn("matched_template", F.col("_m.template"))
-            .drop("_m"))
+    def perfect(c):
+        return F.forall(F.zip_with(c["tpl"], mtoks,
+                                   lambda a, b: (a == F.lit(w)) | (a == b)),
+                        lambda x: x)
+
+    # argmax on (wildcard_count, -cid): reference keeps the highest
+    # param_count among perfect matches with a stable tie-break
+    # (drain3/drain.py:142-148)
+    ranked = F.transform(
+        F.filter(F.col("_cands"), perfect),
+        lambda c: F.struct(
+            F.size(F.filter(c["tpl"], lambda t: t == F.lit(w))).alias("wc"),
+            (-c["cid"]).alias("negcid"),
+            c["cid"].alias("cid"),
+            F.concat_ws(" ", c["tpl"]).alias("template")))
+    best = F.array_max(ranked)
+
+    return (lhs.join(F.broadcast(rhs), F.col("_tc") == F.col("_ctc"), "left")
+            .withColumn("_best", best)
+            .withColumn("matched_cluster_id", F.col("_best.cid"))
+            .withColumn("matched_template", F.col("_best.template"))
+            .drop("_tokens", "_tc", "_ctc", "_cands", "_best"))
 
 
 def match_clusters(df: DataFrame,

@@ -111,6 +111,11 @@ def mine_templates(df: DataFrame,
     gcols = group_key_cols(F.col("tokens"), cfg)
     keyed = keyed.select("*", *gcols)
     gnames = ["token_count"] + (["prefix_key"] if len(gcols) > 1 else [])
+    salted = cfg.mining_salt > 1
+    if salted:
+        keyed = keyed.withColumn(
+            "_salt", F.pmod(F.xxhash64("ckey"), F.lit(cfg.mining_salt)))
+        gnames.append("_salt")
 
     # broadcast prior state to executors (bounded by max_clusters)
     prior_rows: List[tuple] = list(prior_clusters or [])
@@ -120,8 +125,10 @@ def mine_templates(df: DataFrame,
     kernel_kwargs = dict(
         sim_th=cfg.sim_th, depth=cfg.depth, max_children=cfg.max_children,
         # per-group LRU is exact for single-group data; the global bound is
-        # re-applied at commit (reference drain3/drain.py:37-51 semantics)
-        max_clusters=cfg.max_clusters, param_str=cfg.param_str,
+        # re-applied at commit (reference drain3/drain.py:37-51 semantics).
+        # salted banks never evict locally — the merge pass owns the bound
+        max_clusters=None if salted else cfg.max_clusters,
+        param_str=cfg.param_str,
         parametrize_numeric_tokens=cfg.parametrize_numeric_tokens,
     )
     n_order = len(order_cols)
@@ -186,6 +193,17 @@ def mine_templates(df: DataFrame,
     clusters_raw = folded.filter(F.col("row_kind") == "c")
     assignments_raw = folded.filter(F.col("row_kind") == "a")
 
+    if salted:
+        clusters_df, id_map = _merge_salted_banks(
+            spark, cfg, clusters_raw, prior_rows, prior_max)
+        assignments = (assignments_raw
+                       .join(F.broadcast(id_map), "cluster_ref")
+                       .select(*order_cols, "cluster_id", "change_type",
+                               F.col("size").alias("cluster_size"),
+                               F.col("template").alias("template_mined")))
+        return MiningResult(assignments=assignments, clusters=clusters_df,
+                            raw=folded)
+
     # prior clusters whose group saw no rows this batch pass through
     # unchanged (they never reached a fold task)
     untouched = None
@@ -235,3 +253,113 @@ def mine_templates(df: DataFrame,
                            F.col("template").alias("template_mined")))
 
     return MiningResult(assignments=assignments, clusters=clusters, raw=folded)
+
+
+def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
+                        clusters_raw: DataFrame,
+                        prior_rows: List[tuple],
+                        prior_max: int):
+    """Two-phase mine+merge reconciliation (SURVEY.md §7).
+
+    Bank cluster tables are tiny (clusters ≪ rows); they are collected
+    and merged on the driver with the same kernel:
+
+    * bank copies of a PRIOR cluster merge positionally (template merge
+      is associative for equal-length sequences, drain3/drain.py:415-425);
+      size = prior + per-bank increments.
+    * NEW bank clusters are re-ingested into a merge bank (seeded with
+      the merged priors) in creation-key order — a new bank cluster may
+      land in a prior cluster or found a merged new cluster; its bank
+      size transfers to the target.
+
+    Returns (clusters DataFrame, cluster_ref -> cluster_id map DataFrame).
+    """
+    from collections import defaultdict
+
+    crows = clusters_raw.collect()
+    by_group: dict = defaultdict(list)
+    for r in crows:
+        by_group[r["group_key"]].append(r)
+    prior_by_id = {int(p[0]): p for p in prior_rows}
+    w = cfg.param_str
+
+    ref_map: dict = {}           # bank cluster_ref -> pid | ClusterRec
+    merged_new: List[ClusterRec] = []
+    final_rows: List[tuple] = []
+
+    for gkey in sorted(by_group):
+        rows = sorted(by_group[gkey], key=lambda r: r["ckey"] or "")
+        token_count = int(rows[0]["token_count"])
+
+        merged_prior: dict = {}
+        for r in rows:
+            if not r["cluster_ref"].startswith("g:"):
+                continue
+            pid = int(r["cluster_ref"][2:])
+            tks = r["template"].split(" ") if r["template"] else []
+            mp = merged_prior.get(pid)
+            if mp is None:
+                merged_prior[pid] = {"tokens": tks, "delta": 0,
+                                     "upd": r["updated_key"] or ""}
+            else:
+                mp["tokens"] = [a if a == b else w
+                                for a, b in zip(mp["tokens"], tks)]
+                mp["upd"] = max(mp["upd"], r["updated_key"] or "")
+            merged_prior[pid]["delta"] += \
+                int(r["size"]) - int(prior_by_id[pid][4])
+            ref_map[r["cluster_ref"]] = pid
+
+        bank = TemplateBank(
+            sim_th=cfg.sim_th, depth=cfg.depth, max_children=cfg.max_children,
+            max_clusters=None, param_str=w,
+            parametrize_numeric_tokens=cfg.parametrize_numeric_tokens)
+        for pid in sorted(merged_prior):
+            p = prior_by_id[pid]
+            rec = ClusterRec(pid, merged_prior[pid]["tokens"],
+                             created_key=p[5] or "",
+                             size=int(p[4]) + merged_prior[pid]["delta"])
+            rec.updated_key = max(p[6] or "", merged_prior[pid]["upd"])
+            bank.registry[rec.cid] = rec
+            bank._insert_path(rec)
+        prior_ids = set(bank.registry)
+
+        for r in rows:
+            if not r["cluster_ref"].startswith("n:"):
+                continue
+            tks = r["template"].split(" ") if r["template"] else []
+            res = bank.ingest_tokens(tks, order_key=r["ckey"] or "")
+            rec = bank.registry[int(res["cluster_id"])]
+            rec.size += int(r["size"]) - 1  # ingest counted 1; bank size owns it
+            rec.updated_key = max(rec.updated_key, r["updated_key"] or "")
+            ref_map[r["cluster_ref"]] = rec.cid if rec.cid in prior_ids else rec
+
+        for rec in bank.registry.values():
+            if rec.cid not in prior_ids:
+                merged_new.append(rec)
+            final_rows.append((rec.cid if rec.cid in prior_ids else rec,
+                               gkey, token_count, rec.template, int(rec.size),
+                               rec.created_key, rec.updated_key))
+
+    # untouched prior groups pass through unchanged
+    touched = set(by_group)
+    for p in prior_rows:
+        if p[1] not in touched:
+            final_rows.append((int(p[0]), p[1], int(p[2]), p[3], int(p[4]),
+                               p[5], p[6]))
+
+    # deterministic renumbering of merged new clusters
+    merged_new.sort(key=lambda rec: rec.created_key)
+    new_ids = {id(rec): prior_max + i + 1 for i, rec in enumerate(merged_new)}
+
+    def fid(x) -> int:
+        return int(x) if isinstance(x, int) else new_ids[id(x)]
+
+    cluster_rows = [(fid(r[0]),) + tuple(r[1:]) for r in final_rows]
+    if cfg.max_clusters is not None:
+        cluster_rows.sort(key=lambda r: (r[6] or "", r[0]), reverse=True)
+        cluster_rows = cluster_rows[:cfg.max_clusters]
+    clusters_df = spark.createDataFrame(cluster_rows, schema=CLUSTER_SCHEMA)
+    id_map = spark.createDataFrame(
+        [(ref, fid(target)) for ref, target in ref_map.items()],
+        "cluster_ref string, cluster_id long")
+    return clusters_df, id_map

@@ -90,32 +90,29 @@ def referential_and_equality_violations(clips: DataFrame,
     how = "full_outer" if include_orphans else "left"
     j = left.join(right, F.col("c.clip_id") == F.col("r.r_clip_id"), how)
 
-    missing = (j.filter(F.col("r.r_clip_id").isNull())
-               .select(F.col("c.clip_id").alias("clip_id"), F.col("c.ds").alias("ds"),
-                       F.lit(CHECK_REF_MISSING).alias("check"),
-                       F.lit("no transcript_ref row").alias("detail"))
-               .distinct())
-    parts = [missing]
+    # one physical join: the three findings are conditional structs over
+    # the joined row, exploded in the same stage (a union of filters
+    # would re-execute the join once per branch)
+    c_id, r_id = F.col("c.clip_id"), F.col("r.r_clip_id")
+    findings = [
+        F.when(c_id.isNotNull() & r_id.isNull(),
+               _violation(c_id, F.col("c.ds"), CHECK_REF_MISSING,
+                          F.lit("no transcript_ref row"))),
+        F.when(c_id.isNotNull() & r_id.isNotNull()
+               & F.col("c.transcript").isNotNull()
+               & (F.col("c.transcript") != F.col("r.transcript_ref")),
+               _violation(c_id, F.col("c.ds"), CHECK_TRANSCRIPT_EQ,
+                          F.lit("transcript != transcript_ref"))),
+    ]
     if include_orphans:
-        parts.append(
-            j.filter(F.col("c.clip_id").isNull())
-            .select(F.col("r.r_clip_id").alias("clip_id"),
-                    F.lit(None).cast("string").alias("ds"),
-                    F.lit(CHECK_REF_ORPHAN).alias("check"),
-                    F.lit("transcript_ref row without clip").alias("detail")))
-    mismatch = (j.filter(F.col("c.clip_id").isNotNull()
-                         & F.col("r.r_clip_id").isNotNull()
-                         & F.col("c.transcript").isNotNull()
-                         & (F.col("c.transcript") != F.col("r.transcript_ref")))
-                .select(F.col("c.clip_id").alias("clip_id"), F.col("c.ds").alias("ds"),
-                        F.lit(CHECK_TRANSCRIPT_EQ).alias("check"),
-                        F.lit("transcript != transcript_ref").alias("detail"))
-                .distinct())
-    parts.append(mismatch)
-    out = parts[0]
-    for p_ in parts[1:]:
-        out = out.unionByName(p_)
-    return out
+        findings.append(
+            F.when(c_id.isNull(),
+                   _violation(r_id, F.lit(None).cast("string"), CHECK_REF_ORPHAN,
+                              F.lit("transcript_ref row without clip"))))
+    return (j.select(F.explode(F.filter(F.array(*findings),
+                                        lambda v: v.isNotNull())).alias("v"))
+            .select("v.*")
+            .distinct())
 
 
 def corpus_orphan_violations(clips: DataFrame,

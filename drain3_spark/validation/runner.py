@@ -67,17 +67,32 @@ class ValidationEngine:
 
     def violations(self, clips: DataFrame,
                    transcripts_ref: Optional[DataFrame] = None,
-                   include_orphans: bool = True) -> DataFrame:
+                   include_orphans: bool = True,
+                   materialize: bool = True) -> DataFrame:
+        """Union of all check findings.
+
+        ``materialize=True`` (default) runs the JVM-side checks and the
+        Arrow-UDF audio pass as SEPARATE jobs (each persisted) and
+        unions the cached results.  Scheduling Python-worker tasks and
+        JVM scan branches inside one union-job thrashes badly under
+        high local parallelism (measured 4x worse at local[32] on 1M
+        clips); at cluster scale the separation also keeps executor
+        python memory bounded per stage."""
         cfg = self.cfg
         v = C.row_local_violations(clips, cfg.dur_bounds, cfg.sr_domain)
         v = v.unionByName(C.uniqueness_violations(clips))
         if transcripts_ref is not None:
             v = v.unionByName(C.referential_and_equality_violations(
                 clips, transcripts_ref, include_orphans=include_orphans))
-        if cfg.with_audio:
-            v = v.unionByName(
-                audio_violations(clips, cfg.snr_min, cfg.dur_bounds, cfg.sr_domain))
-        return v
+        if not cfg.with_audio:
+            return v
+        a = audio_violations(clips, cfg.snr_min, cfg.dur_bounds, cfg.sr_domain)
+        if materialize:
+            v = v.persist()
+            v.count()
+            a = a.persist()
+            a.count()
+        return v.unionByName(a)
 
     def validate(self, clips: DataFrame,
                  transcripts_ref: Optional[DataFrame] = None,
