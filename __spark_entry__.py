@@ -299,6 +299,22 @@ def _q24_audio_validation(spark, sf):
     return v.groupBy("check").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q26_jaccard_mining(spark, sf):
+    from drain3_spark.config import EngineConfig
+    from drain3_spark.operators.mining import mine_templates
+    res = mine_templates(_docs_as_clips(spark, sf), EngineConfig(engine="jaccard"))
+    return res.clusters.select("cluster_id", "group_key", "template", "size")
+
+
+def _q27_cluster_report(spark, sf):
+    from drain3_spark.config import EngineConfig
+    from drain3_spark.diagnostics import cluster_tree_report
+    from drain3_spark.operators.mining import mine_templates
+    res = mine_templates(_docs_as_clips(spark, sf), EngineConfig(mining_mode="exact"))
+    return cluster_tree_report(res.clusters).select(
+        "group_key", "cluster_count", "total_size")
+
+
 def _q25_audio_features(spark, sf):
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.multimodal import audio_features
@@ -337,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_ivf_ann": _q23_ivf_ann,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
+        "q26_jaccard_mining": _q26_jaccard_mining,
+        "q27_cluster_report": _q27_cluster_report,
     }
 
 

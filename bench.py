@@ -47,9 +47,18 @@ def main() -> None:
     spark = get_spark("drain3_spark_bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 16))
 
-    # warm up the JVM/codegen path so the first timed query isn't
-    # charged for session initialization
+    # warm up the JVM/codegen path and the python worker pool so the
+    # first timed query isn't charged session/worker initialization
     spark.range(1000000).selectExpr("sum(id)").collect()
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pu
+
+    @_pu("long")
+    def _warm(x: _pd.Series) -> _pd.Series:
+        import numpy, pandas  # noqa
+        import drain3_spark.audio.codecs  # noqa
+        return x
+    spark.range(0, cpus * 4, numPartitions=cpus * 4).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
 
@@ -73,9 +82,8 @@ def main() -> None:
     clips_path = f"{work}/clips_{n_clips}"
     ref_path = f"{work}/ref_{n_clips}"
     if not os.path.exists(clips_path + "/_SUCCESS"):
-        FX.gen_clips(spark, n_clips, dirty=True, dur_lo=20, dur_hi=60,
-                     partitions=cpus * 2) \
-            .write.mode("overwrite").partitionBy("ds").parquet(clips_path)
+        FX.write_clips(FX.gen_clips(spark, n_clips, dirty=True, dur_lo=20,
+                                    dur_hi=60, partitions=cpus * 2), clips_path)
         FX.gen_transcripts_ref(spark, n_clips, dirty=True, dur_lo=20, dur_hi=60,
                                partitions=cpus * 2) \
             .write.mode("overwrite").parquet(ref_path)

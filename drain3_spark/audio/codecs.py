@@ -50,23 +50,37 @@ def encode(pcm: np.ndarray, codec: str) -> bytes:
     raise ValueError(f"unknown codec: {codec}")
 
 
+def _expand_table(codec: str) -> np.ndarray:
+    """256-entry expansion LUT for the 8-bit companded codecs: the
+    transcendental expansion runs once per possible code, decode becomes
+    a table gather (~10x faster than per-sample pow/exp)."""
+    codes = np.arange(256, dtype=np.float32)
+    y = codes / 127.5 - 1.0
+    if codec == "mulaw":
+        x = np.sign(y) * (np.power(1.0 + MU, np.abs(y)) - 1.0) / MU
+    else:  # alaw
+        ay = np.abs(y)
+        knee = 1.0 / (1.0 + np.log(A_LAW))
+        x = np.where(ay < knee,
+                     ay * (1.0 + np.log(A_LAW)) / A_LAW,
+                     np.exp(ay * (1.0 + np.log(A_LAW)) - 1.0) / A_LAW)
+        x = np.sign(y) * x
+    return x.astype(np.float32)
+
+
+_MULAW_LUT = _expand_table("mulaw")
+_ALAW_LUT = _expand_table("alaw")
+
+
 def decode(payload: bytes, codec: str) -> np.ndarray:
     if codec == "pcm_s16le":
         return np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32767.0
     if codec == "pcm_f32le":
         return np.frombuffer(payload, dtype="<f4").astype(np.float32)
     if codec == "mulaw":
-        y = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
-        x = np.sign(y) * (np.power(1.0 + MU, np.abs(y)) - 1.0) / MU
-        return x.astype(np.float32)
+        return _MULAW_LUT[np.frombuffer(payload, dtype=np.uint8)]
     if codec == "alaw":
-        y = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
-        ay = np.abs(y)
-        knee = 1.0 / (1.0 + np.log(A_LAW))
-        x = np.where(ay < knee,
-                     ay * (1.0 + np.log(A_LAW)) / A_LAW,
-                     np.exp(ay * (1.0 + np.log(A_LAW)) - 1.0) / A_LAW)
-        return (np.sign(y) * x).astype(np.float32)
+        return _ALAW_LUT[np.frombuffer(payload, dtype=np.uint8)]
     raise ValueError(f"unknown codec: {codec}")
 
 

@@ -65,6 +65,22 @@ VIOLATION_SCHEMA = T.StructType([
 _CODEC_FLIP = {"pcm_s16le": "mulaw", "mulaw": "pcm_s16le",
                "alaw": "pcm_f32le", "pcm_f32le": "alaw"}
 
+# Parquet dictionary encoding is pathological for unique ~KB binary
+# payloads (the writer builds a dictionary of every distinct payload and
+# the vectorized reader materializes + gathers it: measured 12x slower
+# scans).  Every clips write MUST disable it for the bytes column.
+CLIPS_WRITER_OPTIONS = {"parquet.enable.dictionary": "false"}
+
+
+def write_clips(df, path: str, partition_by: str = "ds", mode: str = "overwrite"):
+    """Write a clips table with binary-payload-safe parquet options."""
+    w = df.write.mode(mode)
+    for k, v in CLIPS_WRITER_OPTIONS.items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
 DEFECT_KINDS = ("dup", "missing_ref", "orphan_ref", "null_transcript",
                 "dur_bounds", "sr_domain", "corrupt_bytes", "transcript_mismatch")
 

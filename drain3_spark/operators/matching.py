@@ -107,9 +107,13 @@ def match_clusters(df: DataFrame,
               max_clusters=None, param_str=cfg.param_str,
               parametrize_numeric_tokens=cfg.parametrize_numeric_tokens)
 
+    engine_name = cfg.engine
+
     @pandas_udf(T.LongType())
     def match_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         from drain3_spark.core.kernel import TemplateBank
+        if engine_name == "jaccard":
+            from drain3_spark.core.kernel_jaccard import JaccardBank as TemplateBank
         rows = bc.value
         state = [(int(r[0]), str(r[3]).split(" ") if r[3] else [], int(r[4]),
                   r[5] or "", r[6] or "") for r in rows]

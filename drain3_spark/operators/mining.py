@@ -110,7 +110,11 @@ def mine_templates(df: DataFrame,
     keyed = keyed.filter(F.col("tokens").isNotNull())
     gcols = group_key_cols(F.col("tokens"), cfg)
     keyed = keyed.select("*", *gcols)
-    gnames = ["token_count"] + (["prefix_key"] if len(gcols) > 1 else [])
+    if cfg.engine == "jaccard":
+        gnames = ["first_token"]
+        keyed = keyed.withColumn("token_count", F.size("tokens"))
+    else:
+        gnames = ["token_count"] + (["prefix_key"] if len(gcols) > 1 else [])
     salted = cfg.mining_salt > 1
     if salted:
         keyed = keyed.withColumn(
@@ -131,22 +135,29 @@ def mine_templates(df: DataFrame,
         param_str=cfg.param_str,
         parametrize_numeric_tokens=cfg.parametrize_numeric_tokens,
     )
-    n_order = len(order_cols)
+    engine_name = cfg.engine
     out_schema = _fold_schema(df, order_cols)
 
     def fold_group(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        gkey_parts = [str(pdf.iloc[0]["token_count"])]
-        if "prefix_key" in pdf.columns:
-            gkey_parts.append(str(pdf.iloc[0]["prefix_key"]))
+        if "first_token" in pdf.columns:
+            gkey_parts = [str(pdf.iloc[0]["first_token"])]
+        else:
+            gkey_parts = [str(pdf.iloc[0]["token_count"])]
+            if "prefix_key" in pdf.columns:
+                gkey_parts.append(str(pdf.iloc[0]["prefix_key"]))
         group_key = KEY_SEP.join(gkey_parts)
 
         mine = [r for r in bc_prior.value if r[1] == group_key]
         state_rows = [(int(r[0]), str(r[3]).split(" ") if r[3] else [], int(r[4]),
                        r[5] or "", r[6] or "") for r in mine]
-        bank = TemplateBank.from_state(state_rows, counter=None, **kernel_kwargs)
+        bank_cls = TemplateBank
+        if engine_name == "jaccard":
+            from drain3_spark.core.kernel_jaccard import JaccardBank
+            bank_cls = JaccardBank
+        bank = bank_cls.from_state(state_rows, counter=None, **kernel_kwargs)
         bank.counter = max([rec.cid for rec in bank.registry.values()] or [0])
         prior_ids = set(bank.registry.keys())
 
@@ -155,7 +166,8 @@ def mine_templates(df: DataFrame,
 
         out = {name: [] for name in out_schema.names}
 
-        def emit(kind, ovals, ckey, cref, change, size, template, updated_key):
+        def emit(kind, ovals, ckey, cref, change, size, template, updated_key,
+                 token_count=None):
             out["row_kind"].append(kind)
             for c, v in zip(order_cols, ovals):
                 out[c].append(v)
@@ -165,7 +177,8 @@ def mine_templates(df: DataFrame,
             out["size"].append(size)
             out["template"].append(template)
             out["group_key"].append(group_key)
-            out["token_count"].append(int(pdf.iloc[0]["token_count"]))
+            out["token_count"].append(int(pdf.iloc[0]["token_count"])
+                                       if token_count is None else int(token_count))
             out["updated_key"].append(updated_key)
 
         ovals_cols = [pdf[c].tolist() for c in order_cols]
@@ -181,7 +194,8 @@ def mine_templates(df: DataFrame,
         first_ovals = [col[0] for col in ovals_cols]
         for rec in bank.registry.values():
             emit("c", first_ovals, rec.created_key, ref_of(rec), "",
-                 int(rec.size), rec.template, rec.updated_key)
+                 int(rec.size), rec.template, rec.updated_key,
+                 token_count=len(rec.tokens))
         return pd.DataFrame(out, columns=out_schema.names)
 
     # groupBy+applyInPandas inserts exactly one hash Exchange on the key

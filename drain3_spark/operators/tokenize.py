@@ -32,8 +32,14 @@ def tokens_col(col: Column, extra_delimiters: Sequence[str] = ()) -> Column:
 
 def group_key_cols(tokens: Column, cfg: EngineConfig) -> List[Column]:
     """Mining group key columns: [token_count] in exact mode, plus the
-    canonical prefix in scalable mode."""
+    canonical prefix in scalable mode.
+
+    The jaccard engine's level-1 tree key is the FIRST token
+    (drain3/jaccard_drain.py:22-31), so its groups are keyed on that —
+    exact in both modes (variable-length clusters stay co-grouped)."""
     count = F.size(tokens).alias("token_count")
+    if cfg.engine == "jaccard":
+        return [F.coalesce(F.get(tokens, 0), F.lit("")).alias("first_token")]
     if cfg.mining_mode == "exact":
         return [count]
     prefix_len = max(cfg.max_node_depth - 1, 0)

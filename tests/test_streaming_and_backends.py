@@ -1,0 +1,114 @@
+"""Structured Streaming driver, persistence backends, config ini surface,
+diagnostics."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from drain3_spark import fixtures as FX
+from drain3_spark.config import EngineConfig
+from drain3_spark.state.backends import (FileBackend, MemoryBackend,
+                                         load_snapshot_blob, snapshot_blob)
+from drain3_spark.state.store import CheckpointStore
+from drain3_spark.streaming import run_streaming
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    """Files arriving as a stream produce the same final cluster state as
+    one batch run (batch/stream symmetry, SURVEY.md §2.B streaming row)."""
+    clips = FX.gen_clips(spark, 90, n_ds=3, dur_lo=200, dur_hi=400).cache()
+    src = str(tmp_path / "incoming")
+    for ds in ("2026-08-01", "2026-08-02", "2026-08-03"):
+        clips.filter(F.col("ds") == ds).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src}/f_{ds}")
+
+    schema = clips.schema
+    store = run_streaming(
+        spark, f"{src}/f_*", schema,
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "out"),
+        cfg=EngineConfig(), validate=True, max_files_per_trigger=1)
+    hw, rows, counter, key = store.latest(spark)
+    assert hw is not None and key.startswith("stream-")
+
+    from drain3_spark.operators.mining import mine_templates
+    batch = mine_templates(clips, EngineConfig())
+    want = {(r.group_key, r.template, r.size) for r in batch.clusters.collect()}
+    got = {(r[1], r[3], r[4]) for r in rows}
+    assert got == want
+    # streamed violations exist per batch
+    assert os.path.exists(str(tmp_path / "out" / "violations"))
+    batch.unpersist()
+    clips.unpersist()
+
+
+def test_backends_blob_roundtrip(tmp_path):
+    rows = [(1, "6\x1fuser", 6, "user <*> logged in", 10, "a", "b"),
+            (2, "3\x1fcache", 3, "cache flush completed", 5, "c", "d")]
+    blob = snapshot_blob(rows, counter=7)
+    got_rows, counter = load_snapshot_blob(blob)
+    assert counter == 7 and got_rows == rows
+
+    fb = FileBackend(str(tmp_path / "snap.bin"))
+    assert fb.load_state() is None
+    fb.save_state(blob)
+    assert fb.load_state() == blob
+
+    mb = MemoryBackend()
+    assert mb.load_state() is None
+    mb.save_state(blob)
+    assert mb.load_state() == blob
+
+
+def test_config_ini_surface(tmp_path):
+    """Reference-compatible ini loading (surface of
+    tests/test_template_miner.py:18-23 over tests/drain3_test.ini)."""
+    ini = tmp_path / "engine.ini"
+    ini.write_text("""
+[SNAPSHOT]
+snapshot_interval_minutes = 10
+compress_state = True
+
+[DRAIN]
+sim_th = 0.4
+depth = 4
+max_children = 100
+max_clusters = 1024
+extra_delimiters = ["_"]
+
+[MASKING]
+masking = [
+    {"regex_pattern":"((?<=[^A-Za-z0-9])|^)(([0-9a-f]{2,}:){3,}([0-9a-f]{2,}))((?=[^A-Za-z0-9])|$)", "mask_with": "ID"},
+    {"regex_pattern":"((?<=[^A-Za-z0-9])|^)(\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3})((?=[^A-Za-z0-9])|$)", "mask_with": "IP"},
+    {"regex_pattern":"((?<=[^A-Za-z0-9])|^)([0-9a-f]{6,} ?){3,}((?=[^A-Za-z0-9])|$)", "mask_with": "SEQ"},
+    {"regex_pattern":"((?<=[^A-Za-z0-9])|^)([0-9A-F]{4} ?){4,}((?=[^A-Za-z0-9])|$)", "mask_with": "SEQ"},
+    {"regex_pattern":"((?<=[^A-Za-z0-9])|^)(0x[a-f0-9A-F]+)((?=[^A-Za-z0-9])|$)", "mask_with": "HEX"},
+    {"regex_pattern":"((?<=[^A-Za-z0-9])|^)([\\\\-\\\\+]?\\\\d+)((?=[^A-Za-z0-9])|$)", "mask_with": "NUM"},
+    {"regex_pattern":"(?<=executed cmd )(\\".+?\\")", "mask_with": "CMD"}
+    ]
+mask_prefix = <:
+mask_suffix = :>
+""")
+    cfg = EngineConfig.load_ini(str(ini))
+    assert cfg.max_clusters == 1024
+    assert list(cfg.extra_delimiters) == ["_"]
+    assert len(cfg.masking) == 7
+    assert cfg.mask_prefix == "<:" and cfg.mask_suffix == ":>"
+    assert cfg.snapshot_interval_minutes == 10
+
+
+def test_diagnostics(spark):
+    from drain3_spark.diagnostics import cluster_tree_report, profile_report
+    from drain3_spark.operators.mining import mine_templates
+    from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
+    clips = FX.gen_clips(spark, 60, dur_lo=200, dur_hi=400).cache()
+    res = mine_templates(clips, EngineConfig())
+    rep = cluster_tree_report(res.clusters).collect()
+    assert rep and rep[0].total_size >= rep[-1].total_size
+    assert all(len(r.top_clusters) <= 5 for r in rep)
+
+    report = ValidationEngine(ValidationConfig(with_drift=False)).validate(clips)
+    prof = profile_report(report.metrics).collect()
+    assert abs(sum(r.rows_share for r in prof) - 1.0) < 1e-6
+    report.violations.unpersist()
+    res.unpersist()
+    clips.unpersist()
