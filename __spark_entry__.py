@@ -299,6 +299,24 @@ def _q24_audio_validation(spark, sf):
     return v.groupBy("check").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q28_extract_params(spark, sf):
+    """Slot-value extraction over mined templates (rows-only: python
+    regex semantics, reference drain3/template_miner.py:205-331)."""
+    from drain3_spark.config import EngineConfig, MaskRule
+    from drain3_spark.operators.extraction import extract_params_col
+    from drain3_spark.operators.matching import match_clusters_sql
+    from drain3_spark.operators.mining import mine_templates
+    cfg = EngineConfig(mining_mode="exact",
+                       masking=[MaskRule(NUM_MASK_PATTERN, "NUM")])
+    clips = _docs_as_clips(spark, sf)
+    res = mine_templates(clips, cfg)
+    matched = match_clusters_sql(clips, res.clusters, cfg)
+    params = extract_params_col(F.col("matched_template"), F.col("transcript"), cfg)
+    return (matched
+            .withColumn("n_params", F.size(params))
+            .groupBy("n_params").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 def _q26_jaccard_mining(spark, sf):
     from drain3_spark.config import EngineConfig
     from drain3_spark.operators.mining import mine_templates
@@ -354,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q26_jaccard_mining": _q26_jaccard_mining,
+        "q28_extract_params": _q28_extract_params,
         "q27_cluster_report": _q27_cluster_report,
     }
 

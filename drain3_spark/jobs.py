@@ -77,6 +77,15 @@ def run_incremental(spark: SparkSession,
         n_assign = mined.assignments.count()
         counter = max([counter] + [int(r[0]) for r in rows])
         new_clusters = len(rows) - len(prior)
+        if out_dir:
+            # per-partition lineage (SURVEY.md C12; reference profiler
+            # analog drain3/simple_profiler.py:101-119)
+            lineage = spark.createDataFrame(
+                [(ds, idx, n_assign, len(rows), new_clusters,
+                  int(report.violations.count()) if report is not None else None)],
+                "ds string, batch_id long, rows_mined long, templates_seen long, "
+                "clusters_created long, violations long")
+            lineage.write.mode("overwrite").parquet(f"{out_dir}/lineage/ds={ds}")
         store.commit(idx, clusters_df, counter, batch_key=ds)
         mined.unpersist()
         if report is not None:

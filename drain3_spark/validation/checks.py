@@ -115,6 +115,32 @@ def referential_and_equality_violations(clips: DataFrame,
             .distinct())
 
 
+CHECK_TEMPLATE_ANOMALY = "template_anomaly"
+
+
+def template_anomaly_violations(assignments: DataFrame, clusters: DataFrame,
+                                min_cluster_size: int = 5,
+                                id_col: str = "clip_id") -> DataFrame:
+    """Cluster-level anomaly signal (SURVEY.md C5): clips whose mined
+    cluster stayed rare (final size < threshold) are violation
+    candidates — the validation reading of the reference's
+    ``sim < sim_th -> new cluster`` novelty signal
+    (drain3/drain.py:147-148, change_type at :206).
+
+    One broadcast join of assignments against the (small) cluster table."""
+    rare = clusters.filter(F.col("size") < min_cluster_size) \
+        .select("cluster_id", F.col("size").alias("_csize"))
+    return (assignments
+            .join(F.broadcast(rare), "cluster_id")
+            .select(F.col(id_col).alias("clip_id"),
+                    F.col("ds"),
+                    F.lit(CHECK_TEMPLATE_ANOMALY).alias("check"),
+                    F.concat(F.lit("rare template cluster "),
+                             F.col("cluster_id").cast("string"),
+                             F.lit(" size="),
+                             F.col("_csize").cast("string")).alias("detail")))
+
+
 def corpus_orphan_violations(clips: DataFrame,
                              transcripts_ref: DataFrame) -> DataFrame:
     """Orphan transcript_ref rows vs the FULL clips corpus — one

@@ -20,7 +20,7 @@ signal here rather than an eviction heuristic.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
@@ -37,19 +37,25 @@ def _chi2_critical(dof: int, alpha: float) -> float:
     return dof * (1.0 - 2.0 / (9.0 * dof) + z * math.sqrt(2.0 / (9.0 * dof))) ** 3
 
 
-def ks_drift(clips: DataFrame, value_col: str = "dur_ms",
+def ks_drift(clips: Optional[DataFrame], value_col: str = "dur_ms",
              baseline_ds: str | None = None,
-             alpha: float = 0.05) -> List[dict]:
+             alpha: float = 0.05,
+             hist: Optional[List[tuple]] = None) -> List[dict]:
     """Two-sample KS of each ds partition against the baseline partition.
 
     One Spark aggregation → value histogram per ds; exact D computed on
     the merged support in numpy.  Returns one record per non-baseline ds.
+    ``hist`` short-circuits the aggregation with precomputed
+    (ds, value, n) rows (shared-cube path, runner.validate).
     """
-    hist = (clips.groupBy("ds", value_col).agg(F.count(F.lit(1)).alias("n"))
-            .collect())
+    if hist is None:
+        hist = (clips.groupBy("ds", value_col)
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        hist = [(r["ds"], r[value_col], r["n"]) for r in hist]
     by_ds: Dict[str, Dict[float, int]] = {}
-    for r in hist:
-        by_ds.setdefault(r["ds"], {})[float(r[value_col])] = int(r["n"])
+    for ds, value, n in hist:
+        by_ds.setdefault(ds, {})[float(value)] = \
+            by_ds.setdefault(ds, {}).get(float(value), 0) + int(n)
     if not by_ds:
         return []
     baseline_ds = baseline_ds or min(by_ds)
@@ -73,16 +79,21 @@ def ks_drift(clips: DataFrame, value_col: str = "dur_ms",
     return out
 
 
-def chisq_drift(clips: DataFrame, cat_col: str = "codec",
+def chisq_drift(clips: Optional[DataFrame], cat_col: str = "codec",
                 baseline_ds: str | None = None,
-                alpha: float = 0.05) -> List[dict]:
+                alpha: float = 0.05,
+                hist: Optional[List[tuple]] = None) -> List[dict]:
     """Pearson chi-square of each ds partition's category frequencies
-    against the baseline partition's."""
-    hist = (clips.groupBy("ds", cat_col).agg(F.count(F.lit(1)).alias("n"))
-            .collect())
+    against the baseline partition's.  ``hist`` short-circuits the
+    aggregation with precomputed (ds, category, n) rows."""
+    if hist is None:
+        hist = (clips.groupBy("ds", cat_col)
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        hist = [(r["ds"], r[cat_col], r["n"]) for r in hist]
     by_ds: Dict[str, Dict[str, int]] = {}
-    for r in hist:
-        by_ds.setdefault(r["ds"], {})[str(r[cat_col])] = int(r["n"])
+    for ds, cat, n in hist:
+        by_ds.setdefault(ds, {})[str(cat)] = \
+            by_ds.setdefault(ds, {}).get(str(cat), 0) + int(n)
     if not by_ds:
         return []
     baseline_ds = baseline_ds or min(by_ds)

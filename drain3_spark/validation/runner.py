@@ -102,7 +102,21 @@ class ValidationEngine:
         violations = self.violations(clips, transcripts_ref,
                                      include_orphans=include_orphans).persist()
 
-        rows_per_ds = clips.groupBy("ds").agg(F.count(F.lit(1)).alias("rows_scanned"))
+        # ONE aggregation pass feeds rows_scanned AND both drift
+        # statistics: the (ds, dur_ms, codec) cube is tiny (bounded
+        # value cardinality), everything downstream is driver-side numpy
+        hist_rows = None
+        if cfg.with_drift:
+            hist_rows = (clips.groupBy("ds", "dur_ms", "codec")
+                         .agg(F.count(F.lit(1)).alias("n")).collect())
+            per_ds_counts: dict = {}
+            for r in hist_rows:
+                per_ds_counts[r["ds"]] = per_ds_counts.get(r["ds"], 0) + int(r["n"])
+            rows_per_ds = spark.createDataFrame(
+                sorted(per_ds_counts.items()), "ds string, rows_scanned long")
+        else:
+            rows_per_ds = clips.groupBy("ds").agg(
+                F.count(F.lit(1)).alias("rows_scanned"))
         per_check = (violations.filter(F.col("ds").isNotNull())
                      .groupBy("ds", "check")
                      .agg(F.count(F.lit(1)).alias("violation_count")))
@@ -130,13 +144,17 @@ class ValidationEngine:
 
         drift_rows: List[tuple] = []
         if cfg.with_drift:
-            for rec in ks_drift(clips, "dur_ms", cfg.drift_baseline_ds, cfg.drift_alpha):
+            ks_hist = [(r["ds"], r["dur_ms"], r["n"]) for r in hist_rows]
+            chisq_hist = [(r["ds"], r["codec"], r["n"]) for r in hist_rows]
+            for rec in ks_drift(None, "dur_ms", cfg.drift_baseline_ds,
+                                cfg.drift_alpha, hist=ks_hist):
                 drift_rows.append((rec["ds"], rec["check"], bool(rec["passed"]),
                                    0 if rec["passed"] else int(rec["rows"]),
                                    int(rec["rows"]),
                                    f"D={rec['statistic']:.6f} thr={rec['threshold']:.6f} "
                                    f"baseline={rec['baseline_ds']}"))
-            for rec in chisq_drift(clips, "codec", cfg.drift_baseline_ds, cfg.drift_alpha):
+            for rec in chisq_drift(None, "codec", cfg.drift_baseline_ds,
+                                   cfg.drift_alpha, hist=chisq_hist):
                 drift_rows.append((rec["ds"], rec["check"], bool(rec["passed"]),
                                    0 if rec["passed"] else int(rec["rows"]),
                                    int(rec["rows"]),

@@ -76,3 +76,20 @@ def test_schema_check(spark):
     bad = clips.drop("codec").withColumn("extra", F.lit(1))
     got = {r.detail for r in schema_violations(bad, FX.CLIPS_SCHEMA).collect()}
     assert got == {"missing column codec", "unexpected column extra"}
+
+
+def test_template_anomaly(spark):
+    from drain3_spark.config import EngineConfig
+    from drain3_spark.operators.mining import mine_templates
+    from drain3_spark.validation.checks import template_anomaly_violations
+    lines = ["job 1 ok", "job 2 ok", "job 3 ok", "job 4 ok", "job 5 ok",
+             "totally novel line never repeated"]
+    df = spark.createDataFrame(
+        [("2026-08-01", f"clip-{i:010d}", t) for i, t in enumerate(lines)],
+        "ds string, clip_id string, transcript string")
+    res = mine_templates(df, EngineConfig())
+    v = template_anomaly_violations(res.assignments, res.clusters,
+                                    min_cluster_size=3).collect()
+    assert {r.clip_id for r in v} == {"clip-0000000005"}
+    assert v[0].check == "template_anomaly"
+    res.unpersist()

@@ -84,8 +84,11 @@ def main() -> None:
 
     worker = _WORKER % {"repo": REPO}
     trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
+    levels = tuple(int(x) for x in
+                   os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(","))
+    lo, hi = levels
     results = {}
-    for cpus in (8, 32):
+    for cpus in levels:
         best = None
         for trial in range(trials):
             out = subprocess.run([sys.executable, "-c", worker, str(cpus),
@@ -98,17 +101,18 @@ def main() -> None:
                 best = rec
         results[cpus] = best
 
-    eff = (results[32]["clips_per_sec"] / results[8]["clips_per_sec"]) / (32 / 8)
-    same_out = (results[8]["violations"] == results[32]["violations"]
-                and results[8]["clusters"] == results[32]["clusters"])
+    eff = (results[hi]["clips_per_sec"] / results[lo]["clips_per_sec"]) / (hi / lo)
+    same_out = (results[lo]["violations"] == results[hi]["violations"]
+                and results[lo]["clusters"] == results[hi]["clusters"])
     summary = {"n_clips": n_clips,
-               "clips_per_sec_local8": results[8]["clips_per_sec"],
-               "clips_per_sec_local32": results[32]["clips_per_sec"],
+               f"clips_per_sec_local{lo}": results[lo]["clips_per_sec"],
+               f"clips_per_sec_local{hi}": results[hi]["clips_per_sec"],
+               "levels": f"{lo}->{hi}",
                "scaling_efficiency": round(eff, 3),
                "identical_outputs": same_out}
     print(json.dumps(summary))
-    print(f"\n| {n_clips} | {results[8]['clips_per_sec']} | "
-          f"{results[32]['clips_per_sec']} | {round(eff, 3)} | {same_out} |")
+    print(f"\n| {n_clips} | local[{lo}]={results[lo]['clips_per_sec']} | "
+          f"local[{hi}]={results[hi]['clips_per_sec']} | {round(eff, 3)} | {same_out} |")
 
 
 if __name__ == "__main__":
