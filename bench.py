@@ -50,14 +50,13 @@ def main() -> None:
     # warm up the JVM/codegen path and the python worker pool so the
     # first timed query isn't charged session/worker initialization
     spark.range(1000000).selectExpr("sum(id)").collect()
-    import pandas as _pd
     from pyspark.sql.functions import pandas_udf as _pu
 
-    @_pu("long")
-    def _warm(x: _pd.Series) -> _pd.Series:
+    def _warm_fn(x):
         import numpy, pandas  # noqa
         import drain3_spark.audio.codecs  # noqa
         return x
+    _warm = _pu(_warm_fn, "long")
     spark.range(0, cpus * 4, numPartitions=cpus * 4).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
