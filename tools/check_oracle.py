@@ -11,6 +11,8 @@ import os
 import sys
 import time
 
+TOL = float(os.environ.get("ORACLE_TOL", "1e-9"))
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
@@ -41,8 +43,8 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
             aa = pd.to_numeric(a[c], errors="coerce").values.astype(float)
             bb = pd.to_numeric(b[c], errors="coerce").values.astype(float)
             both_nan = np.isnan(aa) & np.isnan(bb)
-            if not np.all(both_nan | (np.abs(aa - bb) <= 1e-9)):
-                i = int(np.argmax(~(both_nan | (np.abs(aa - bb) <= 1e-9))))
+            if not np.all(both_nan | (np.abs(aa - bb) <= TOL)):
+                i = int(np.argmax(~(both_nan | (np.abs(aa - bb) <= TOL))))
                 return f"VALUES col={c} row={i}: {aa[i]!r} != {bb[i]!r}"
         else:
             if not (av.astype(str) == bv.astype(str)).all():
