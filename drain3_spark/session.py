@@ -36,6 +36,11 @@ def get_spark(app_name: str = "drain3_spark",
         # ds partition values stay strings on read-back (the engine's
         # order-key and violation contracts are string-typed)
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # smaller input splits than the 128m default: the binary-decode
+        # stages are python-CPU-bound per byte, so more (and smaller)
+        # scan partitions keep every Arrow worker fed (measured ~30%
+        # on the audio pass); AQE coalesces the shuffle side anyway
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
