@@ -86,7 +86,7 @@ def _q3_window_running(spark, sf):
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (e.select("event_id", "user_id",
                      F.round(F.sum("value").over(w), 4).alias("running_value"),
-                     F.row_number().over(w).alias("rn")))
+                     F.row_number().over(w).cast("long").alias("rn")))
 
 
 def _q4_mask_tokenize(spark, sf):
@@ -94,9 +94,9 @@ def _q4_mask_tokenize(spark, sf):
     masked = F.regexp_replace(F.col("text"), NUM_MASK_PATTERN, "<NUM>")
     toks = F.filter(F.split(F.trim(masked), r"\s+"), lambda t: t != "")
     return d.select("doc_id", masked.alias("masked"),
-                    F.size(toks).alias("tokens_ws"),
+                    F.size(toks).cast("long").alias("tokens_ws"),
                     F.size(F.regexp_extract_all(
-                        F.col("text"), F.lit(BPE_TOKEN), F.lit(0))).alias("tokens_bpe"))
+                        F.col("text"), F.lit(BPE_TOKEN), F.lit(0))).cast("long").alias("tokens_bpe"))
 
 
 def _q5_group_key(spark, sf):
@@ -104,7 +104,7 @@ def _q5_group_key(spark, sf):
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
     first = F.element_at(toks, 1)
     canon = F.when(first.rlike(r"\d"), F.lit("<*>")).otherwise(first)
-    return (d.select(F.size(toks).alias("token_count"), canon.alias("prefix_key"))
+    return (d.select(F.size(toks).cast("long").alias("token_count"), canon.alias("prefix_key"))
             .groupBy("token_count", "prefix_key")
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
@@ -235,7 +235,9 @@ def _q15_jaccard_pairs(spark, sf):
 def _q16_minhash(spark, sf):
     from drain3_spark.pipeline.dedup import minhash_signatures
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
-    return minhash_signatures(d, k=3, num_hashes=8).withColumnRenamed("id", "doc_id")
+    sig = minhash_signatures(d, k=3, num_hashes=8)
+    return sig.select(F.col("id").alias("doc_id"),
+                      F.col("seed").cast("long").alias("seed"), "minhash")
 
 
 def _q17_fingerprint(spark, sf):
