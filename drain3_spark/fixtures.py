@@ -181,6 +181,8 @@ def gen_clips(spark: SparkSession, n: int, dirty: bool = False,
               n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
               partitions: Optional[int] = None) -> DataFrame:
     """T1 (clean) / T3 (dirty) clips table, synthesized on executors."""
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
     kw = dict(n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi, dirty=dirty)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -199,6 +201,8 @@ def gen_transcripts_ref(spark: SparkSession, n: int, dirty: bool = False,
                         n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
                         partitions: Optional[int] = None) -> DataFrame:
     """T2 reference table (missing-ref rows dropped, orphans added)."""
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
     kw = dict(n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi, dirty=dirty)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -223,6 +227,8 @@ def gen_expected_violations(spark: SparkSession, n: int, n_ds: int = 7,
                             dur_bounds=(100, 5000),
                             partitions: Optional[int] = None) -> DataFrame:
     """Golden violations table for the dirty fixture (exact-match target)."""
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
     kw = dict(n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi, dirty=True)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -40,6 +40,8 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 
 def audio_features(clips: DataFrame) -> DataFrame:
     """Real decode → per-clip acoustic features (RMS, peak, ZCR)."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from drain3_spark.audio.codecs import decode

@@ -37,6 +37,8 @@ def audio_decode_results(clips: DataFrame,
                          ) -> DataFrame:
     """Per-clip (snr_db, passed) for structurally valid rows."""
     from drain3_spark.audio.codecs import CODECS
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
 
     lo, hi = dur_bounds
     valid = (clips
