@@ -61,8 +61,10 @@ def run_incremental(spark: SparkSession,
         report = None
         if validate:
             # orphan detection is corpus-level and handled after the loop
-            report = engine.validate(batch, transcripts_ref,
-                                     include_orphans=False)
+            from dataclasses import replace as _replace
+            batch_engine = ValidationEngine(_replace(engine.cfg, with_drift=False))
+            report = batch_engine.validate(batch, transcripts_ref,
+                                           include_orphans=False)
         if out_dir:
             mined.assignments.write.mode("overwrite").parquet(
                 f"{out_dir}/assignments/ds={ds}")
@@ -94,11 +96,31 @@ def run_incremental(spark: SparkSession,
         results.append(BatchResult(idx, ds, rows, counter, report,
                                    n_assign, new_clusters))
 
-    # corpus-level orphan pass: one anti-join over the full input,
-    # rewritten (not appended) every invocation so a resume replaces any
-    # partial-corpus result
-    if validate and transcripts_ref is not None and out_dir:
-        from drain3_spark.validation.checks import corpus_orphan_violations
-        corpus_orphan_violations(clips, transcripts_ref) \
-            .write.mode("overwrite").parquet(f"{out_dir}/violations_corpus")
+    # corpus-level passes, rewritten (not appended) every invocation so a
+    # resume replaces any partial-corpus result:
+    # - orphan refs need the full clip universe (anti-join)
+    # - drift compares ds partitions against the baseline partition, which
+    #   a single-ds micro-batch cannot do
+    if validate and out_dir:
+        if transcripts_ref is not None:
+            from drain3_spark.validation.checks import corpus_orphan_violations
+            corpus_orphan_violations(clips, transcripts_ref) \
+                .write.mode("overwrite").parquet(f"{out_dir}/violations_corpus")
+        vcfg_obj = engine.cfg
+        if vcfg_obj.with_drift:
+            from drain3_spark.validation.drift import chisq_drift, ks_drift
+            from drain3_spark.validation.runner import PARTITION_REPORT_SCHEMA
+            drift_rows = []
+            for rec in (ks_drift(clips, "dur_ms", vcfg_obj.drift_baseline_ds,
+                                 vcfg_obj.drift_alpha)
+                        + chisq_drift(clips, "codec", vcfg_obj.drift_baseline_ds,
+                                      vcfg_obj.drift_alpha)):
+                drift_rows.append((rec["ds"], rec["check"], bool(rec["passed"]),
+                                   0 if rec["passed"] else int(rec["rows"]),
+                                   int(rec["rows"]),
+                                   f"stat={rec['statistic']:.6f} "
+                                   f"thr={rec['threshold']:.6f} "
+                                   f"baseline={rec['baseline_ds']}"))
+            spark.createDataFrame(drift_rows, PARTITION_REPORT_SCHEMA) \
+                .write.mode("overwrite").parquet(f"{out_dir}/drift_report_corpus")
     return results
