@@ -12,8 +12,8 @@ fidelity and batch/stream symmetry (SURVEY.md §2.B streaming row).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from typing import Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import Column, functions as F, types as T
+from pyspark.sql import Column, types as T
 from pyspark.sql.functions import pandas_udf
 
 from drain3_spark.config import EngineConfig

@@ -33,7 +33,7 @@ deterministic creation / recency order.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 

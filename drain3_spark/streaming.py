@@ -19,7 +19,7 @@ batch id as the order prefix.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

@@ -23,7 +23,7 @@ Pass structure (scan count matters at 100 TB):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, functions as F, types as T
