@@ -47,3 +47,29 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     # re-running once more is a no-op (idempotence)
     assert run_incremental(spark, clips, part_dir, validate=False) == []
     clips.unpersist()
+
+
+def test_incremental_outputs_and_lineage(spark, tmp_path):
+    """run_incremental writes assignments/violations/lineage per batch and
+    the corpus-level orphan + drift reports (SURVEY.md C9/C12)."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.validation.runner import ValidationConfig
+
+    n = 300
+    clips = FX.gen_clips(spark, n, dirty=True, n_ds=3, dur_lo=200, dur_hi=500)
+    ref = FX.gen_transcripts_ref(spark, n, dirty=True, n_ds=3,
+                                 dur_lo=200, dur_hi=500)
+    out = str(tmp_path / "out")
+    results = run_incremental(spark, clips, str(tmp_path / "state"),
+                              vcfg=ValidationConfig(drift_alpha=0.01),
+                              transcripts_ref=ref, out_dir=out)
+    assert len(results) == 3
+    lineage = spark.read.option("basePath", f"{out}/lineage") \
+        .parquet(f"{out}/lineage/ds=*").collect()
+    assert {r.ds for r in lineage} == {"2026-08-01", "2026-08-02", "2026-08-03"}
+    assert all(r.rows_mined > 0 and r.templates_seen > 0 for r in lineage)
+    # drift report exists and only the shifted partition fails
+    drift = spark.read.parquet(f"{out}/drift_report_corpus").collect()
+    fails = {(r.ds, r.check) for r in drift if not r.passed}
+    assert all(ds == "2026-08-03" for ds, _ in fails)
+    assert fails, "shifted partition must fail at least one drift check"
