@@ -178,27 +178,38 @@ where t.d <> (select min(d) from h)
 group by t.d
 """
 
+# KS distance in exact integer arithmetic: with per-day cumulative counts
+# cum_d(v) and totals tn_d, D_d = max_v |cum_d(v)/tn_d - cum_0(v)/tn_0| is
+# emitted as the integer pair (ks_num, ks_den) where
+#   ks_num = max_v |cum_d(v)*tn_0 - cum_0(v)*tn_d|,  ks_den = tn_d*tn_0.
+# No floating-point division happens in either engine, so the value hash
+# cannot trip on a rounding boundary (round-1 q13 failed exactly there:
+# Spark's and DuckDB's double cumsums disagreed in the last bit on a
+# round(.,6) half-ulp).
 _KS_SQL = """
 with ev as (
   select {day} as d, value from {events}
 ), counts as (
-  select d, value, count(*) as n from ev group by 1, 2
+  select d, value, cast(count(*) as bigint) as n from ev group by 1, 2
 ), tot as (
-  select d, sum(n) as tn from counts group by 1
+  select d, cast(sum(n) as bigint) as tn from counts group by 1
 ), grid as (
   select b.d, s.value from (select distinct d from ev) b
   cross join (select distinct value from ev) s
 ), cum as (
   select g.d, g.value,
-         sum(coalesce(c.n, 0)) over (partition by g.d order by g.value)
-           * 1.0 / t.tn as cdf
+         cast(sum(coalesce(c.n, 0)) over (partition by g.d order by g.value)
+              as bigint) as cum_n,
+         t.tn
   from grid g
   left join counts c on c.d = g.d and c.value = g.value
   join tot t on t.d = g.d
 ), base as (
-  select value, cdf as cdf0 from cum where d = (select min(d) from cum)
+  select value, cum_n as cum0, tn as tn0 from cum where d = (select min(d) from cum)
 )
-select cum.d, round(max(abs(cum.cdf - base.cdf0)), 6) as ks_d
+select cum.d,
+       max(abs(cum.cum_n * base.tn0 - base.cum0 * cum.tn)) as ks_num,
+       max(cum.tn * base.tn0) as ks_den
 from cum join base on base.value = cum.value
 where cum.d <> (select min(d) from cum)
 group by cum.d
