@@ -51,7 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from drain3_spark.config import EngineConfig
     from drain3_spark.operators.mining import mine_templates
     res = mine_templates(_docs_as_clips(spark, SF_DEFAULT),
-                         EngineConfig(mining_mode="exact"),
+                         EngineConfig(mining_mode="exact", mining_salt=0),
                          order_cols=("ds", "clip_id"))
     return res.clusters.select("cluster_id", "token_count", "template", "size") \
         .orderBy("cluster_id")
@@ -112,7 +112,8 @@ def _q5_group_key(spark, sf):
 def _q6_mine_templates(spark, sf):
     from drain3_spark.config import EngineConfig
     from drain3_spark.operators.mining import mine_templates
-    res = mine_templates(_docs_as_clips(spark, sf), EngineConfig(mining_mode="exact"))
+    res = mine_templates(_docs_as_clips(spark, sf),
+                         EngineConfig(mining_mode="exact", mining_salt=0))
     return res.clusters.select("cluster_id", "token_count", "template", "size")
 
 
@@ -120,7 +121,7 @@ def _q7_match_inference(spark, sf):
     from drain3_spark.config import EngineConfig
     from drain3_spark.operators.mining import mine_templates
     from drain3_spark.operators.matching import match_clusters_sql
-    cfg = EngineConfig(mining_mode="exact")
+    cfg = EngineConfig(mining_mode="exact", mining_salt=0)
     clips = _docs_as_clips(spark, sf)
     res = mine_templates(clips, cfg)
     out = match_clusters_sql(clips, res.clusters, cfg)
@@ -319,7 +320,7 @@ def _q28_extract_params(spark, sf):
     from drain3_spark.operators.extraction import extract_params_col
     from drain3_spark.operators.matching import match_clusters_sql
     from drain3_spark.operators.mining import mine_templates
-    cfg = EngineConfig(mining_mode="exact",
+    cfg = EngineConfig(mining_mode="exact", mining_salt=0,
                        masking=[MaskRule(NUM_MASK_PATTERN, "NUM")])
     clips = _docs_as_clips(spark, sf)
     res = mine_templates(clips, cfg)
@@ -341,7 +342,8 @@ def _q27_cluster_report(spark, sf):
     from drain3_spark.config import EngineConfig
     from drain3_spark.diagnostics import cluster_tree_report
     from drain3_spark.operators.mining import mine_templates
-    res = mine_templates(_docs_as_clips(spark, sf), EngineConfig(mining_mode="exact"))
+    res = mine_templates(_docs_as_clips(spark, sf),
+                         EngineConfig(mining_mode="exact", mining_salt=0))
     return cluster_tree_report(res.clusters).select(
         "group_key", "cluster_count", "total_size")
 

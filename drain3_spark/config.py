@@ -60,6 +60,9 @@ class EngineConfig:
     # associative, drain3/drain.py:415-425).  Assignment-time sizes and
     # change types become bank-local — a documented approximation for
     # hot-group scalability; cluster table results stay deterministic.
+    # 0 = AUTO: resolve to the cluster's default parallelism at mine
+    # time, so the post-shuffle mining stage is never bounded by the
+    # handful of distinct token-count groups (~6-13 on template corpora).
     mining_salt: int = 1
     shuffle_partitions: int = 32
     arrow_max_records_per_batch: int = 2048
@@ -81,6 +84,8 @@ class EngineConfig:
             raise ValueError(f"unknown engine: {self.engine}")
         if self.mining_mode not in ("exact", "scalable"):
             raise ValueError(f"unknown mining_mode: {self.mining_mode}")
+        if self.mining_salt < 0:
+            raise ValueError("mining_salt must be >= 0 (0 = auto)")
         return self
 
     @classmethod

@@ -115,10 +115,16 @@ def mine_templates(df: DataFrame,
         keyed = keyed.withColumn("token_count", F.size("tokens"))
     else:
         gnames = ["token_count"] + (["prefix_key"] if len(gcols) > 1 else [])
-    salted = cfg.mining_salt > 1
+    # salt resolution: 0 = auto — split every group into ~defaultParallelism
+    # banks so mining parallelism tracks the cluster, not the group count
+    # (~6-13 distinct token counts on template corpora would otherwise cap
+    # the post-shuffle stage forever, regardless of cluster size)
+    salt = cfg.mining_salt if cfg.mining_salt >= 1 else max(
+        2, spark.sparkContext.defaultParallelism)
+    salted = salt > 1
     if salted:
         keyed = keyed.withColumn(
-            "_salt", F.pmod(F.xxhash64("ckey"), F.lit(cfg.mining_salt)))
+            "_salt", F.pmod(F.xxhash64("ckey"), F.lit(salt)))
         gnames.append("_salt")
 
     # broadcast prior state to executors (bounded by max_clusters)
@@ -278,13 +284,16 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
     Bank cluster tables are tiny (clusters ≪ rows); they are collected
     and merged on the driver with the same kernel:
 
-    * bank copies of a PRIOR cluster merge positionally (template merge
-      is associative for equal-length sequences, drain3/drain.py:415-425);
-      size = prior + per-bank increments.
-    * NEW bank clusters are re-ingested into a merge bank (seeded with
-      the merged priors) in creation-key order — a new bank cluster may
-      land in a prior cluster or found a merged new cluster; its bank
-      size transfers to the target.
+    * bank copies of a PRIOR cluster merge with the ENGINE's template
+      merge — positional for drain (associative for equal-length
+      sequences, drain3/drain.py:415-425), longer-sequence/intersection
+      for jaccard (drain3/jaccard_drain.py:183-202, where bank copies of
+      one cluster can legitimately differ in length); size = prior +
+      per-bank increments.
+    * NEW bank clusters are re-ingested into a merge bank of the SAME
+      engine (seeded with the merged priors) in creation-key order — a
+      new bank cluster may land in a prior cluster or found a merged new
+      cluster; its bank size transfers to the target.
 
     Returns (clusters DataFrame, cluster_ref -> cluster_id map DataFrame).
     """
@@ -296,6 +305,10 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
         by_group[r["group_key"]].append(r)
     prior_by_id = {int(p[0]): p for p in prior_rows}
     w = cfg.param_str
+    bank_cls = TemplateBank
+    if cfg.engine == "jaccard":
+        from drain3_spark.core.kernel_jaccard import JaccardBank
+        bank_cls = JaccardBank
 
     ref_map: dict = {}           # bank cluster_ref -> pid | ClusterRec
     merged_new: List[ClusterRec] = []
@@ -303,7 +316,11 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
 
     for gkey in sorted(by_group):
         rows = sorted(by_group[gkey], key=lambda r: r["ckey"] or "")
-        token_count = int(rows[0]["token_count"])
+
+        bank = bank_cls(
+            sim_th=cfg.sim_th, depth=cfg.depth, max_children=cfg.max_children,
+            max_clusters=None, param_str=w,
+            parametrize_numeric_tokens=cfg.parametrize_numeric_tokens)
 
         merged_prior: dict = {}
         for r in rows:
@@ -316,17 +333,12 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
                 merged_prior[pid] = {"tokens": tks, "delta": 0,
                                      "upd": r["updated_key"] or ""}
             else:
-                mp["tokens"] = [a if a == b else w
-                                for a, b in zip(mp["tokens"], tks)]
+                mp["tokens"] = list(bank.merge_template(tks, mp["tokens"]))
                 mp["upd"] = max(mp["upd"], r["updated_key"] or "")
             merged_prior[pid]["delta"] += \
                 int(r["size"]) - int(prior_by_id[pid][4])
             ref_map[r["cluster_ref"]] = pid
 
-        bank = TemplateBank(
-            sim_th=cfg.sim_th, depth=cfg.depth, max_children=cfg.max_children,
-            max_clusters=None, param_str=w,
-            parametrize_numeric_tokens=cfg.parametrize_numeric_tokens)
         for pid in sorted(merged_prior):
             p = prior_by_id[pid]
             rec = ClusterRec(pid, merged_prior[pid]["tokens"],
@@ -351,8 +363,8 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
             if rec.cid not in prior_ids:
                 merged_new.append(rec)
             final_rows.append((rec.cid if rec.cid in prior_ids else rec,
-                               gkey, token_count, rec.template, int(rec.size),
-                               rec.created_key, rec.updated_key))
+                               gkey, len(rec.tokens), rec.template,
+                               int(rec.size), rec.created_key, rec.updated_key))
 
     # untouched prior groups pass through unchanged
     touched = set(by_group)

@@ -55,6 +55,43 @@ def test_salted_deterministic(spark):
     df.unpersist()
 
 
+def test_auto_salt_equals_explicit(spark):
+    """mining_salt=0 resolves to cluster parallelism; cluster table must
+    equal the unsalted result on separated formats."""
+    df = corpus(spark, 1200).cache()
+    base = mine_templates(df, EngineConfig(mining_mode="scalable", masking=MASKS))
+    auto = mine_templates(df, EngineConfig(mining_mode="scalable", masking=MASKS,
+                                           mining_salt=0))
+    assert cluster_key_set(base) == cluster_key_set(auto)
+    base.unpersist(); auto.unpersist(); df.unpersist()
+
+
+def test_salted_jaccard_variable_length(spark):
+    """Jaccard engine + salt: bank copies of a prior cluster can differ in
+    LENGTH (jaccard merge keeps the longer sequence, reference
+    drain3/jaccard_drain.py:183-202).  The merge pass must use jaccard
+    semantics — the old positional zip silently truncated templates."""
+    prior = [(1, "login", 3, "login user alpha", 5, "a-000", "a-000")]
+    rows = [
+        ("2026-08-01", "clip-0000000001", "login user alpha now"),
+        ("2026-08-01", "clip-0000000002", "login user beta"),
+        ("2026-08-01", "clip-0000000003", "restart of node seven done"),
+        ("2026-08-01", "clip-0000000004", "restart of node nine done"),
+    ]
+    df = spark.createDataFrame(rows, "ds string, clip_id string, transcript string")
+    base_cfg = EngineConfig(engine="jaccard")
+    salt_cfg = EngineConfig(engine="jaccard", mining_salt=4)
+    base = mine_templates(df, base_cfg, prior_clusters=prior, prior_counter=1)
+    salt = mine_templates(df, salt_cfg, prior_clusters=prior, prior_counter=1)
+    want = {(r.group_key, r.template, r.size) for r in base.clusters.collect()}
+    got = {(r.group_key, r.template, r.size) for r in salt.clusters.collect()}
+    assert got == want
+    # the prior cluster grew to length 4 — no zip truncation
+    tpl = {r.cluster_id: r.template for r in salt.clusters.collect()}[1]
+    assert len(tpl.split(" ")) == 4
+    base.unpersist(); salt.unpersist()
+
+
 def test_salted_incremental(spark):
     df = corpus(spark, 1200).cache()
     cfg = EngineConfig(mining_mode="scalable", masking=MASKS, mining_salt=4)
