@@ -77,7 +77,10 @@ def run_incremental(spark: SparkSession,
                     f"{out_dir}/metrics/ds={ds}")
         rows = [tuple(r) for r in clusters_df.collect()]
         n_assign = mined.assignments.count()
-        counter = max([counter] + [int(r[0]) for r in rows])
+        # monotonic counter: prior + clusters created this batch — NOT
+        # max(live ids), which would reuse the ids of LRU-evicted
+        # clusters (reference drain3/drain.py:201-202 never reuses ids)
+        counter = mined.updated_counter()
         new_clusters = len(rows) - len(prior)
         if out_dir:
             # per-partition lineage (SURVEY.md C12; reference profiler

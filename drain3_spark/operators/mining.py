@@ -61,6 +61,22 @@ class MiningResult:
     assignments: DataFrame   # order cols + cluster_id, change_type, cluster_size, template_mined
     clusters: DataFrame      # CLUSTER_SCHEMA
     raw: DataFrame           # persisted UDF output (caller unpersists via .unpersist())
+    prior_max: int = 0       # counter value the batch started from
+    _counter: Optional[int] = None   # eager in salted mode, lazy otherwise
+
+    def updated_counter(self) -> int:
+        """True monotonic cluster counter after this batch: prior counter
+        + number of clusters CREATED (reference drain3/drain.py:201-202 —
+        the counter never decreases, so ids of clusters later evicted by
+        the LRU bound are never reused).  ``max(live ids)`` is wrong for
+        exactly that reason."""
+        if self._counter is None:
+            n_new = (self.raw
+                     .filter((F.col("row_kind") == "c")
+                             & F.col("cluster_ref").startswith("n:"))
+                     .select("cluster_ref").distinct().count())
+            self._counter = self.prior_max + n_new
+        return self._counter
 
     def unpersist(self) -> None:
         self.raw.unpersist()
@@ -214,7 +230,7 @@ def mine_templates(df: DataFrame,
     assignments_raw = folded.filter(F.col("row_kind") == "a")
 
     if salted:
-        clusters_df, id_map = _merge_salted_banks(
+        clusters_df, id_map, n_new = _merge_salted_banks(
             spark, cfg, clusters_raw, prior_rows, prior_max)
         assignments = (assignments_raw
                        .join(F.broadcast(id_map), "cluster_ref")
@@ -222,7 +238,8 @@ def mine_templates(df: DataFrame,
                                F.col("size").alias("cluster_size"),
                                F.col("template").alias("template_mined")))
         return MiningResult(assignments=assignments, clusters=clusters_df,
-                            raw=folded)
+                            raw=folded, prior_max=prior_max,
+                            _counter=prior_max + n_new)
 
     # prior clusters whose group saw no rows this batch pass through
     # unchanged (they never reached a fold task)
@@ -272,7 +289,8 @@ def mine_templates(df: DataFrame,
                            F.col("size").alias("cluster_size"),
                            F.col("template").alias("template_mined")))
 
-    return MiningResult(assignments=assignments, clusters=clusters, raw=folded)
+    return MiningResult(assignments=assignments, clusters=clusters, raw=folded,
+                        prior_max=prior_max)
 
 
 def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
@@ -388,4 +406,4 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
     id_map = spark.createDataFrame(
         [(ref, fid(target)) for ref, target in ref_map.items()],
         "cluster_ref string, cluster_id long")
-    return clusters_df, id_map
+    return clusters_df, id_map, len(merged_new)

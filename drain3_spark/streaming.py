@@ -29,6 +29,51 @@ from drain3_spark.state.store import CheckpointStore
 from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
 
 
+def make_batch_processor(store: CheckpointStore,
+                         cfg: EngineConfig,
+                         engine: ValidationEngine,
+                         out_dir: str,
+                         order_cols=("ds", "clip_id"),
+                         validate: bool = True):
+    """foreachBatch callback: mine + validate + commit one micro-batch.
+
+    Idempotent under at-least-once replay: ``foreachBatch`` may re-deliver
+    a batch whose state commit already happened (crash between
+    ``store.commit`` and the stream checkpoint's own commit).  A batch
+    whose key equals the latest committed ``batch_key`` is skipped —
+    replaying it onto the already-updated state would double-count
+    cluster sizes.  The reference's analog is restoring the latest
+    snapshot on init (drain3/template_miner.py:80-122): state already
+    containing a message's effect is never re-fed that message."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hw, prior, counter, last_key = store.latest(spark)
+        if last_key == f"stream-{batch_id}":
+            return  # at-least-once replay of an already-committed batch
+        mined = mine_templates(batch_df, cfg, order_cols=order_cols,
+                               prior_clusters=prior, prior_counter=counter)
+        mined.assignments.write.mode("overwrite").parquet(
+            f"{out_dir}/assignments/batch={batch_id}")
+        if validate:
+            report = engine.validate(batch_df, include_orphans=False)
+            report.violations.write.mode("overwrite").parquet(
+                f"{out_dir}/violations/batch={batch_id}")
+            report.partition_report.write.mode("overwrite").parquet(
+                f"{out_dir}/partition_report/batch={batch_id}")
+            report.violations.unpersist()
+        # monotonic: prior + created, never max(live ids) (see jobs.py)
+        new_counter = mined.updated_counter()
+        next_id = (hw + 1) if hw is not None else 0
+        store.commit(next_id, mined.clusters, new_counter,
+                     batch_key=f"stream-{batch_id}")
+        mined.unpersist()
+
+    return process_batch
+
+
 def run_streaming(spark: SparkSession,
                   source_dir: str,
                   schema,
@@ -55,27 +100,9 @@ def run_streaming(spark: SparkSession,
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(source_dir))
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        hw, prior, counter, _ = store.latest(spark)
-        mined = mine_templates(batch_df, cfg, order_cols=order_cols,
-                               prior_clusters=prior, prior_counter=counter)
-        mined.assignments.write.mode("overwrite").parquet(
-            f"{out_dir}/assignments/batch={batch_id}")
-        if validate:
-            report = engine.validate(batch_df, include_orphans=False)
-            report.violations.write.mode("overwrite").parquet(
-                f"{out_dir}/violations/batch={batch_id}")
-            report.partition_report.write.mode("overwrite").parquet(
-                f"{out_dir}/partition_report/batch={batch_id}")
-            report.violations.unpersist()
-        rows = [tuple(r) for r in mined.clusters.collect()]
-        new_counter = max([counter] + [int(r[0]) for r in rows])
-        next_id = (hw + 1) if hw is not None else 0
-        store.commit(next_id, mined.clusters, new_counter,
-                     batch_key=f"stream-{batch_id}")
-        mined.unpersist()
+    process_batch = make_batch_processor(store, cfg, engine, out_dir,
+                                         order_cols=order_cols,
+                                         validate=validate)
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

@@ -127,3 +127,63 @@ def test_tableio_parquet_fallback(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         TableIO(spark, catalog="nope")
+
+
+def test_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch whose state commit
+    already happened must be a no-op (no double-counted cluster sizes)."""
+    from drain3_spark.streaming import make_batch_processor
+    from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
+
+    clips = FX.gen_clips(spark, 60, n_ds=1, dur_lo=200, dur_hi=400).cache()
+    store = CheckpointStore(str(tmp_path / "state"))
+    proc = make_batch_processor(
+        store, EngineConfig(),
+        ValidationEngine(ValidationConfig(with_audio=False, with_drift=False)),
+        str(tmp_path / "out"), validate=False)
+
+    proc(clips, 0)
+    hw1, rows1, counter1, key1 = store.latest(spark)
+    assert key1 == "stream-0"
+    proc(clips, 0)  # replay: crash happened between commit and checkpoint
+    hw2, rows2, counter2, key2 = store.latest(spark)
+    assert (hw2, counter2, key2) == (hw1, counter1, key1)
+    assert sorted(rows2) == sorted(rows1)  # sizes NOT double-counted
+    proc(clips, 1)  # a genuinely new batch still commits
+    hw3, _, _, key3 = store.latest(spark)
+    assert hw3 == hw1 + 1 and key3 == "stream-1"
+    clips.unpersist()
+
+
+def test_counter_monotonic_under_lru_eviction(spark):
+    """Cluster ids are never reused after LRU eviction: the persisted
+    counter is prior + created, not max(live ids)
+    (reference drain3/drain.py:201-202)."""
+    from drain3_spark.operators.mining import mine_templates
+
+    rows = []
+    # three formats with distinct token counts; format A arrives first and
+    # is never touched again -> with max_clusters=2 it is the LRU victim
+    for i in range(6):
+        rows.append(("2026-08-01", f"clip-{i:06d}", "alpha start"))
+    for i in range(6, 12):
+        rows.append(("2026-08-01", f"clip-{i:06d}", "beta job running fine"))
+    for i in range(12, 18):
+        rows.append(("2026-08-01", f"clip-{i:06d}", "gamma cache flush done now ok"))
+    df = spark.createDataFrame(rows, "ds string, clip_id string, transcript string")
+    cfg = EngineConfig(max_clusters=2)
+    m1 = mine_templates(df, cfg)
+    live = {int(r.cluster_id) for r in m1.clusters.collect()}
+    assert live == {2, 3}           # cluster 1 (alpha) evicted
+    assert m1.updated_counter() == 3  # but the counter remembers it
+    # next batch: a brand-new format must get id 4, not reuse 3
+    df2 = spark.createDataFrame(
+        [("2026-08-02", "clip-900000", "delta io wait high seen here today")],
+        "ds string, clip_id string, transcript string")
+    m2 = mine_templates(df2, cfg,
+                        prior_clusters=[tuple(r) for r in m1.clusters.collect()],
+                        prior_counter=m1.updated_counter())
+    ids2 = {int(r.cluster_id) for r in m2.clusters.collect()}
+    assert 4 in ids2 and 3 not in ids2 - live
+    assert m2.updated_counter() == 4
+    m1.unpersist(); m2.unpersist()
