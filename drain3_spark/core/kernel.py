@@ -52,17 +52,26 @@ def _has_digit(token: str) -> bool:
 
 
 class ClusterRec:
-    """One learned template cluster (reference LogCluster, drain3/drain.py:14-26)."""
+    """One learned template cluster (reference LogCluster, drain3/drain.py:14-26).
 
-    __slots__ = ("cid", "tokens", "size", "created_key", "updated_key")
+    ``routing`` holds the CREATION-TIME tokens: the reference inserts a
+    cluster into the prefix tree once, at creation, with the tokens of
+    the creating message (drain3/drain.py:211-213), and never re-inserts
+    when the template later wildcard-merges.  Snapshots must preserve
+    those tokens so a restored tree has exactly the reference's paths."""
+
+    __slots__ = ("cid", "tokens", "size", "created_key", "updated_key", "routing")
 
     def __init__(self, cid: int, tokens: Sequence[str],
-                 created_key: str = "", size: int = 1) -> None:
+                 created_key: str = "", size: int = 1,
+                 routing: Optional[Sequence[str]] = None) -> None:
         self.cid = cid
         self.tokens: Tuple[str, ...] = tuple(tokens)
         self.size = size
         self.created_key = created_key   # order key of the creating row (Spark renumbering)
         self.updated_key = created_key   # order key of the last touching row (LRU at commit)
+        self.routing: Tuple[str, ...] = \
+            tuple(routing) if routing is not None else self.tokens
 
     @property
     def template(self) -> str:
@@ -132,9 +141,11 @@ class TemplateBank:
     # ------------------------------------------------------------------ tree
 
     def _insert_path(self, cluster: ClusterRec) -> None:
-        """Insert a cluster's template path into the prefix tree
-        (rules per reference drain3/drain.py:324-388)."""
-        tokens = cluster.tokens
+        """Insert a cluster's CREATION-TIME token path into the prefix
+        tree (rules per reference drain3/drain.py:324-388; the reference
+        inserts once at creation and never re-inserts on template change,
+        drain3/drain.py:211-213)."""
+        tokens = cluster.routing
         n = len(tokens)
         level1 = self.root[_CHILD].get(n)
         if level1 is None:
@@ -259,13 +270,20 @@ class TemplateBank:
         return self.ingest_tokens(tokenize(content, self.extra_delimiters), order_key)
 
     def ingest_tokens(self, tokens: Sequence[str],
-                      order_key: str = "") -> Dict[str, object]:
+                      order_key: str = "",
+                      routing_tokens: Optional[Sequence[str]] = None
+                      ) -> Dict[str, object]:
         """Training step on pre-tokenized input (the Spark path tokenizes
-        once in Catalyst and feeds token arrays through Arrow)."""
+        once in Catalyst and feeds token arrays through Arrow).
+
+        ``routing_tokens`` overrides the tree-path tokens when a new
+        cluster is created (used by the salted merge pass to preserve a
+        bank cluster's original creation-time routing)."""
         hit = self._search(tokens, self.sim_th, include_params=False)
         if hit is None:
             self.counter += 1
-            rec = ClusterRec(self.counter, tokens, created_key=order_key)
+            rec = ClusterRec(self.counter, tokens, created_key=order_key,
+                             routing=routing_tokens)
             if self.max_clusters is not None and len(self.registry) >= self.max_clusters:
                 self.registry.popitem(last=False)  # evict least-recently-used
             self.registry[rec.cid] = rec
@@ -313,29 +331,39 @@ class TemplateBank:
         # reference drain3/drain.py:228-232
         return sum(rec.size for rec in self.registry.values())
 
-    def export_state(self) -> List[Tuple[int, List[str], int, str, str]]:
-        """Relational snapshot: rows in LRU recency order (oldest first).
-
-        The relational form replaces the reference's jsonpickled object
-        graph (drain3/template_miner.py:112-122)."""
-        return [(rec.cid, list(rec.tokens), rec.size, rec.created_key, rec.updated_key)
+    def export_state(self) -> List[Tuple[int, List[str], int, str, str, List[str]]]:
+        """Relational snapshot: rows in LRU recency order (oldest first),
+        carrying both the current template and the creation-time routing
+        tokens (the reference's jsonpickle snapshot preserves tree paths,
+        drain3/template_miner.py:112-122; the routing column is what lets
+        a relational snapshot do the same)."""
+        return [(rec.cid, list(rec.tokens), rec.size, rec.created_key,
+                 rec.updated_key, list(rec.routing))
                 for rec in self.registry.values()]
 
     @classmethod
     def from_state(cls, rows, counter: Optional[int] = None, **kwargs) -> "TemplateBank":
         """Rebuild a bank from exported rows.
 
-        The prefix tree is reconstructed by inserting final templates in
-        cluster-id order (deterministic); LRU recency follows row order.
-        """
+        The prefix tree is reconstructed by inserting each cluster's
+        CREATION-TIME routing tokens in cluster-id order — i.e. the same
+        (token path, insertion order) sequence the original run used —
+        so the restored tree is path-identical to an uninterrupted run.
+        Legacy 5-element rows (no routing) fall back to the final
+        template, a documented approximation.  LRU recency follows row
+        order."""
         bank = cls(**kwargs)
-        recs = [ClusterRec(int(cid), list(tokens), created_key=ck or "", size=int(size))
-                for cid, tokens, size, ck, uk in rows]
-        for rec, row in zip(recs, rows):
-            rec.updated_key = row[4] or ""
+        recs = []
+        for row in rows:
+            cid, tokens, size, ck, uk = row[0], row[1], row[2], row[3], row[4]
+            routing = row[5] if len(row) > 5 and row[5] is not None else tokens
+            rec = ClusterRec(int(cid), list(tokens), created_key=ck or "",
+                             size=int(size), routing=list(routing))
+            rec.updated_key = uk or ""
+            recs.append(rec)
         for rec in recs:          # recency order preserved
             bank.registry[rec.cid] = rec
-        for rec in sorted(recs, key=lambda r: r.cid):  # deterministic tree
+        for rec in sorted(recs, key=lambda r: r.cid):  # creation-order tree
             bank._insert_path(rec)
         bank.counter = counter if counter is not None else \
             max((rec.cid for rec in recs), default=0)

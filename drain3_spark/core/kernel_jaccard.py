@@ -27,7 +27,11 @@ class JaccardBank(TemplateBank):
     # ------------------------------------------------------------------ tree
 
     def _insert_path(self, cluster: ClusterRec) -> None:
-        tokens = cluster.tokens
+        # creation-time routing tokens, like the base kernel: jaccard
+        # merges change template length and can wildcard tree-level
+        # positions, but the reference never re-inserts tree paths
+        # (drain3/jaccard_drain.py:183-202 mutate the template only)
+        tokens = cluster.routing
         n = len(tokens)
         first = tokens[0] if tokens else ""
         level1 = self.root[_CHILD].get(first)

@@ -114,9 +114,9 @@ def match_clusters(df: DataFrame,
         from drain3_spark.core.kernel import TemplateBank
         if engine_name == "jaccard":
             from drain3_spark.core.kernel_jaccard import JaccardBank as TemplateBank
+        from drain3_spark.operators.mining import cluster_tuples_to_state
         rows = bc.value
-        state = [(int(r[0]), str(r[3]).split(" ") if r[3] else [], int(r[4]),
-                  r[5] or "", r[6] or "") for r in rows]
+        state = cluster_tuples_to_state(rows)
         state.sort(key=lambda s: s[0])
         bank = TemplateBank.from_state(state, **kw)
         for series in it:

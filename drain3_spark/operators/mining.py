@@ -44,7 +44,12 @@ from drain3_spark.operators.tokenize import group_key_cols, tokens_col
 
 KEY_SEP = "\x1f"
 
-# state-table schema: one row per live cluster
+# state-table schema: one row per live cluster.  ``routing`` is the
+# creation-time token path (space-joined): the reference inserts a
+# cluster into its parse tree once, at creation, and never re-inserts on
+# template change (drain3/drain.py:211-213), so restoring a tree from
+# final templates alone would put wildcard children where an
+# uninterrupted run has none.
 CLUSTER_SCHEMA = T.StructType([
     T.StructField("cluster_id", T.LongType()),
     T.StructField("group_key", T.StringType()),
@@ -53,7 +58,29 @@ CLUSTER_SCHEMA = T.StructType([
     T.StructField("size", T.LongType()),
     T.StructField("created_key", T.StringType()),
     T.StructField("updated_key", T.StringType()),
+    T.StructField("routing", T.StringType()),
 ])
+
+
+def _pad_prior(row: tuple) -> tuple:
+    """Tolerate pre-routing 7-column state tuples (routing <- template)."""
+    row = tuple(row)
+    if len(row) < 8:
+        return row + (row[3],)
+    if row[7] is None:
+        return row[:7] + (row[3],)
+    return row
+
+
+def cluster_tuples_to_state(rows) -> List[tuple]:
+    """CLUSTER_SCHEMA tuples -> kernel ``from_state`` rows
+    (cid, template_tokens, size, created_key, updated_key, routing_tokens)."""
+    out = []
+    for r in rows:
+        tokens = str(r[3]).split(" ") if r[3] else []
+        routing = (str(r[7]).split(" ") if len(r) > 7 and r[7] else tokens)
+        out.append((int(r[0]), tokens, int(r[4]), r[5] or "", r[6] or "", routing))
+    return out
 
 
 @dataclass
@@ -95,6 +122,7 @@ def _fold_schema(df: DataFrame, order_cols: Sequence[str]) -> T.StructType:
         T.StructField("group_key", T.StringType()),
         T.StructField("token_count", T.IntegerType()),
         T.StructField("updated_key", T.StringType()),
+        T.StructField("routing", T.StringType()),
     ]
     return T.StructType(fields)
 
@@ -144,7 +172,7 @@ def mine_templates(df: DataFrame,
         gnames.append("_salt")
 
     # broadcast prior state to executors (bounded by max_clusters)
-    prior_rows: List[tuple] = list(prior_clusters or [])
+    prior_rows: List[tuple] = [_pad_prior(r) for r in (prior_clusters or [])]
     bc_prior = spark.sparkContext.broadcast(prior_rows)
     prior_max = max([prior_counter] + [int(r[0]) for r in prior_rows]) if prior_rows else prior_counter
 
@@ -173,8 +201,7 @@ def mine_templates(df: DataFrame,
         group_key = KEY_SEP.join(gkey_parts)
 
         mine = [r for r in bc_prior.value if r[1] == group_key]
-        state_rows = [(int(r[0]), str(r[3]).split(" ") if r[3] else [], int(r[4]),
-                       r[5] or "", r[6] or "") for r in mine]
+        state_rows = cluster_tuples_to_state(mine)
         bank_cls = TemplateBank
         if engine_name == "jaccard":
             from drain3_spark.core.kernel_jaccard import JaccardBank
@@ -189,7 +216,7 @@ def mine_templates(df: DataFrame,
         out = {name: [] for name in out_schema.names}
 
         def emit(kind, ovals, ckey, cref, change, size, template, updated_key,
-                 token_count=None):
+                 token_count=None, routing=""):
             out["row_kind"].append(kind)
             for c, v in zip(order_cols, ovals):
                 out[c].append(v)
@@ -202,6 +229,7 @@ def mine_templates(df: DataFrame,
             out["token_count"].append(int(pdf.iloc[0]["token_count"])
                                        if token_count is None else int(token_count))
             out["updated_key"].append(updated_key)
+            out["routing"].append(routing)
 
         ovals_cols = [pdf[c].tolist() for c in order_cols]
         ckeys = pdf["ckey"].tolist()
@@ -217,7 +245,7 @@ def mine_templates(df: DataFrame,
         for rec in bank.registry.values():
             emit("c", first_ovals, rec.created_key, ref_of(rec), "",
                  int(rec.size), rec.template, rec.updated_key,
-                 token_count=len(rec.tokens))
+                 token_count=len(rec.tokens), routing=" ".join(rec.routing))
         return pd.DataFrame(out, columns=out_schema.names)
 
     # groupBy+applyInPandas inserts exactly one hash Exchange on the key
@@ -268,7 +296,8 @@ def mine_templates(df: DataFrame,
                 .join(F.broadcast(id_map), "cluster_ref")
                 .select("cluster_id", "group_key", "token_count", "template",
                         F.col("size").cast("long").alias("size"),
-                        F.col("ckey").alias("created_key"), "updated_key"))
+                        F.col("ckey").alias("created_key"), "updated_key",
+                        "routing"))
     if untouched is not None:
         clusters = clusters.unionByName(untouched)
 
@@ -359,9 +388,11 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
 
         for pid in sorted(merged_prior):
             p = prior_by_id[pid]
+            routing = (p[7] or "").split(" ") if p[7] else []
             rec = ClusterRec(pid, merged_prior[pid]["tokens"],
                              created_key=p[5] or "",
-                             size=int(p[4]) + merged_prior[pid]["delta"])
+                             size=int(p[4]) + merged_prior[pid]["delta"],
+                             routing=routing)
             rec.updated_key = max(p[6] or "", merged_prior[pid]["upd"])
             bank.registry[rec.cid] = rec
             bank._insert_path(rec)
@@ -371,7 +402,9 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
             if not r["cluster_ref"].startswith("n:"):
                 continue
             tks = r["template"].split(" ") if r["template"] else []
-            res = bank.ingest_tokens(tks, order_key=r["ckey"] or "")
+            routing = r["routing"].split(" ") if r["routing"] else []
+            res = bank.ingest_tokens(tks, order_key=r["ckey"] or "",
+                                     routing_tokens=routing)
             rec = bank.registry[int(res["cluster_id"])]
             rec.size += int(r["size"]) - 1  # ingest counted 1; bank size owns it
             rec.updated_key = max(rec.updated_key, r["updated_key"] or "")
@@ -382,14 +415,15 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
                 merged_new.append(rec)
             final_rows.append((rec.cid if rec.cid in prior_ids else rec,
                                gkey, len(rec.tokens), rec.template,
-                               int(rec.size), rec.created_key, rec.updated_key))
+                               int(rec.size), rec.created_key, rec.updated_key,
+                               " ".join(rec.routing)))
 
     # untouched prior groups pass through unchanged
     touched = set(by_group)
     for p in prior_rows:
         if p[1] not in touched:
             final_rows.append((int(p[0]), p[1], int(p[2]), p[3], int(p[4]),
-                               p[5], p[6]))
+                               p[5], p[6], p[7]))
 
     # deterministic renumbering of merged new clusters
     merged_new.sort(key=lambda rec: rec.created_key)

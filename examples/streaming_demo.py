@@ -38,9 +38,9 @@ def main():
     print(f"stream drained: {hw + 1} micro-batches committed, "
           f"{len(rows)} template clusters, counter={counter}")
 
-    bank = TemplateBank.from_state(
-        [(int(r[0]), str(r[3]).split(" ") if r[3] else [], int(r[4]),
-          r[5] or "", r[6] or "") for r in sorted(rows)], counter=counter)
+    from drain3_spark.operators.mining import cluster_tuples_to_state
+    bank = TemplateBank.from_state(cluster_tuples_to_state(sorted(rows)),
+                                   counter=counter)
     for probe in ("user u7 logged in from 10.1.2.3",
                   "cache flush completed",
                   "an entirely novel line shape"):

@@ -110,3 +110,38 @@ def test_match_token_with_different_length():
     assert bank.match("check pass; user boris").cid == 1
     assert bank.match("session opened for user cyrus by (uid=1)").cid == 2
     assert bank.match("nothing") is None
+
+
+def test_from_state_preserves_creation_tree_paths():
+    """Variable-length jaccard merges leave the template longer than the
+    creation tokens; the reference never re-inserts tree paths (the
+    jsonpickle snapshot keeps the tree object, template_miner.py:112-122).
+    A restored bank must be TREE-IDENTICAL to the live bank — routing by
+    creation-time tokens, not by final templates — and behave identically
+    on the next message."""
+    from drain3_spark.core.kernel_jaccard import JaccardBank
+
+    live = JaccardBank()
+    live.ingest("login user alpha", order_key="k1")
+    live.ingest("login user alpha now then", order_key="k2")  # longer merge
+    live.ingest("login 42 cache x", order_key="k3")           # digit routing
+    live.ingest("login 57 cache x y", order_key="k4")         # wildcard merge
+    assert "login user alpha <*> <*>" in \
+        [r.template for r in live.registry.values()]
+
+    restored = JaccardBank.from_state(live.export_state(), counter=live.counter)
+    assert restored.root == live.root           # path-identical tree
+    assert restored.export_state() == live.export_state()
+    for probe in ("login user alpha back", "login 99 cache x",
+                  "logout something else"):
+        a, b = live.ingest(probe), restored.ingest(probe)
+        assert a == b
+    assert live.counter == restored.counter
+
+
+def test_from_state_legacy_rows_without_routing():
+    from drain3_spark.core.kernel import TemplateBank
+    rows = [(1, ["user", "<*>", "logged", "in"], 4, "a", "a")]  # 5-tuple
+    bank = TemplateBank.from_state(rows, counter=1)
+    assert bank.registry[1].routing == ("user", "<*>", "logged", "in")
+    assert bank.match("user u9 logged in", "fallback") is not None

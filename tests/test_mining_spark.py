@@ -95,9 +95,8 @@ def test_match_and_extract_spark(spark):
     assert got["clip-0000000002"] == 2
 
     # pure-SQL broadcast-join path, 'always' strategy
-    clusters_df = spark.createDataFrame(
-        state, "cluster_id long, group_key string, token_count int, template string, "
-               "size long, created_key string, updated_key string")
+    from drain3_spark.operators.mining import CLUSTER_SCHEMA
+    clusters_df = spark.createDataFrame(state, CLUSTER_SCHEMA)
     got_sql = {r.clip_id: r.matched_cluster_id
                for r in match_clusters_sql(probe, clusters_df, cfg).collect()}
     assert got_sql == got
