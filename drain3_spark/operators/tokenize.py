@@ -25,8 +25,13 @@ def tokens_col(col: Column, extra_delimiters: Sequence[str] = ()) -> Column:
     out = col
     for d in extra_delimiters:
         out = F.replace(out, F.lit(d), F.lit(" "))
-    arr = F.split(F.trim(out), r"\s+")
-    # split("") == [""] — drop empty fragments to match "".split() == []
+    # (?U) = UNICODE_CHARACTER_CLASS: Java's bare \s matches ASCII
+    # whitespace only, but the reference tokenizes with str.split()
+    # (drain3/drain.py:181-186) which splits on Unicode whitespace
+    # ( ,  , ...) — the kernel parity tests feed both paths
+    arr = F.split(out, r"(?U)\s+")
+    # split("") == [""] and leading whitespace yields "" — drop empty
+    # fragments to match "".split() == [] (strip+split semantics)
     return F.filter(arr, lambda t: t != "")
 
 

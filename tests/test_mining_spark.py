@@ -120,3 +120,21 @@ def test_empty_and_short_messages_spark(spark):
     assert [r.change_type for r in got] == [
         "cluster_created", "none", "cluster_created", "none", "cluster_created"]
     res.unpersist()
+
+
+def test_unicode_whitespace_tokenize_parity(spark):
+    """Spark tokenization must split on Unicode whitespace like the
+    reference's str.split() (drain3/drain.py:181-186): NBSP, line/para
+    separators, ideographic space."""
+    from drain3_spark.core.kernel import tokenize
+    from drain3_spark.operators.tokenize import tokens_col
+
+    msgs = ["user\u00a0u7 logged\u2028in ok",
+            "\u00a0leading and trailing\u3000",
+            "narrow\u202fand math\u205fspaces",
+            "plain ascii words here",
+            ""]
+    df = spark.createDataFrame([(m,) for m in msgs], "transcript string")
+    got = [r[0] for r in df.select(tokens_col(F.col("transcript"))).collect()]
+    want = [tokenize(m) for m in msgs]
+    assert got == want
