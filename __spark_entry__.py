@@ -241,7 +241,9 @@ def _q14_dedup_exact(spark, sf):
 def _q15_jaccard_pairs(spark, sf):
     from drain3_spark.pipeline.dedup import jaccard_pairs
     d = _t(spark, sf, "documents")
-    return jaccard_pairs(d, k=3, threshold=0.05, block_col="source")
+    # df_cap bounds the per-shingle self-join fan-out (hot stopword
+    # k-grams are quadratic without it); the oracle applies the same cap
+    return jaccard_pairs(d, k=3, threshold=0.05, block_col="source", df_cap=50)
 
 
 def _q16_minhash(spark, sf):
@@ -503,10 +505,14 @@ def oracle_sql() -> dict[str, str]:
             from documents group by source""",
         "q15_jaccard_pairs": f"""
             with {_SHINGLES},
-            sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+            capped as (
+              select sh.* from sh
+              join (select shingle from sh group by shingle
+                    having count(*) <= 50) ok on ok.shingle = sh.shingle),
+            sizes as (select doc_id, count(*) as n_sh from capped group by doc_id),
             common as (
               select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_common
-              from sh a join sh b
+              from capped a join capped b
                 on a.shingle = b.shingle and a.source = b.source
                and a.doc_id < b.doc_id
               group by 1, 2)

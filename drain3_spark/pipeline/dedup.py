@@ -58,17 +58,35 @@ def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   k: int = 3, threshold: float = 0.7,
-                  block_col: Optional[str] = None) -> DataFrame:
+                  block_col: Optional[str] = None,
+                  df_cap: Optional[int] = None) -> DataFrame:
     """Near-duplicate pairs by k-gram Jaccard >= threshold.
 
     explode → self-join on shingle (within ``block_col`` if given) →
     per-pair common count; |A∪B| from per-doc distinct counts.  Returns
     (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``df_cap`` is the scale guard: a shingle shared by s documents
+    contributes s² rows to the self-join, so stopword-like k-grams make
+    the join quadratic on a large corpus.  With ``df_cap`` set, shingles
+    whose document frequency exceeds the cap are dropped BEFORE sizing
+    and joining — Jaccard is then computed over the capped shingle
+    universe (the standard document-frequency filter: near-duplicate
+    pairs share many *rare* shingles, so recall is preserved while the
+    per-shingle join fan-out is bounded by df_cap²).  Corpora where even
+    capped traffic is too hot should route through
+    :func:`minhash_lsh_duplicates` instead.
     """
     sh = shingle_rows(df, id_col, text_col, k)
     if block_col:
         blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("_blk"))
         sh = sh.join(blocks, "id")
+    if df_cap is not None:
+        # the hot set is tiny by construction -> broadcast anti-join;
+        # the df aggregation itself is map-side-combine friendly
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > df_cap).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("id").alias("id_a"), "shingle",

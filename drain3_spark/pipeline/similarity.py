@@ -14,8 +14,9 @@
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Iterator, List, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -48,27 +49,71 @@ def cosine_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
             .limit(k))
 
 
+# above this many centroids a literal expression tree would bloat the
+# plan (C x dim literals); switch to an Arrow-batched numpy argmin over
+# an executor-broadcast centroid matrix — still a narrow pass
+_IVF_LITERAL_MAX = 64
+
+
 def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest coarse centroid.
+    """Assign each vector to its nearest coarse centroid in ONE NARROW
+    PASS — zero Exchange.
 
     Centroids are the first ``num_centroids`` vectors by id —
     deterministic, no iterative k-means needed for a bucketing layout.
-    One broadcast join (N x C pairs) + ``min_by``; the result is the
-    partition layout a 100 TB ANN index would be bucketed/written by.
+    The centroid table is tiny and bounded, so it is collected once and
+    pushed to executors (as a literal array for small C, as a broadcast
+    numpy matrix above ``_IVF_LITERAL_MAX``); the argmin happens per row
+    with no join and no shuffle.  (The naive broadcast-join + min_by
+    formulation materializes N x C rows through an Exchange — a 1024x
+    row blowup at C=1024; at 10^12 rows that Exchange IS the job.)
+    Ties break to the lowest centroid id in both paths.
     """
-    cents = (embeddings.orderBy(id_col).limit(num_centroids)
-             .select(F.col(id_col).alias("centroid_id"),
-                     F.col(vec_col).cast("array<double>").alias("cvec")))
+    cent_rows = (embeddings.orderBy(id_col).limit(num_centroids)
+                 .select(F.col(id_col).alias("centroid_id"),
+                         F.col(vec_col).cast("array<double>").alias("cvec"))
+                 .collect())
+    cent_rows.sort(key=lambda r: r["centroid_id"])
     e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("vec"))
-    dist = F.aggregate(F.zip_with(F.col("vec"), F.col("cvec"),
-                                  lambda x, y: (x - y) * (x - y)),
-                       F.lit(0.0), lambda acc, v: acc + v)
-    return (e.join(F.broadcast(cents))
-            .groupBy(id_col)
-            .agg(F.min_by(F.col("centroid_id"), dist).alias("bucket"),
-                 F.first("vec").alias("vec")))
+
+    if len(cent_rows) <= _IVF_LITERAL_MAX:
+        cand = F.array(*[
+            F.struct(F.lit(int(r["centroid_id"])).alias("cid"),
+                     _vec_lit(r["cvec"]).alias("cvec"))
+            for r in cent_rows])
+        scored = F.transform(
+            cand,
+            lambda c: F.struct(
+                F.aggregate(F.zip_with(F.col("vec"), c["cvec"],
+                                       lambda x, y: (x - y) * (x - y)),
+                            F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+                c["cid"].alias("cid")))
+        # struct min orders by (d, cid): deterministic low-cid tie-break
+        return e.select(id_col, F.array_min(scored)["cid"].alias("bucket"), "vec")
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    ids = [int(r["centroid_id"]) for r in cent_rows]
+    mat = np.asarray([r["cvec"] for r in cent_rows], dtype=np.float64)
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat))
+
+    @pandas_udf(T.LongType())
+    def nearest(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as _np
+        cids, cmat = bc.value
+        cids = _np.asarray(cids, dtype=_np.int64)
+        cnorm = (cmat * cmat).sum(axis=1)
+        for series in it:
+            X = _np.asarray([list(v) for v in series], dtype=_np.float64)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c drops ||x||^2
+            d = cnorm[None, :] - 2.0 * (X @ cmat.T)
+            import pandas as _pd
+            yield _pd.Series(cids[_np.argmin(d, axis=1)])
+
+    return e.select(id_col, nearest(F.col("vec")).alias("bucket"), "vec")
 
 
 def ivf_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,

@@ -122,3 +122,47 @@ def test_multimodal_plumbing(spark):
         multimodal.image_features(items, fake_decoder=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError)
+
+
+def test_ivf_assignment_narrow_and_paths_agree(spark, emb):
+    """Bucket assignment must be a narrow pass (zero Exchange) and the
+    literal-Catalyst and broadcast-numpy paths must agree exactly."""
+    lit_df = similarity.assign_ivf_buckets(emb, num_centroids=8)
+    plan = lit_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    lit = {r.vec_id: r.bucket for r in lit_df.collect()}
+
+    old_max = similarity._IVF_LITERAL_MAX
+    similarity._IVF_LITERAL_MAX = 0  # force the pandas-UDF path
+    try:
+        udf_df = similarity.assign_ivf_buckets(emb, num_centroids=8)
+        uplan = udf_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in uplan, uplan
+        udf = {r.vec_id: r.bucket for r in udf_df.collect()}
+    finally:
+        similarity._IVF_LITERAL_MAX = old_max
+    assert lit == udf
+    # every centroid vector sits in its own bucket
+    for r in emb.orderBy("vec_id").limit(8).collect():
+        assert lit[r.vec_id] == r.vec_id
+
+
+def test_jaccard_df_cap_bounds_hot_shingles(spark):
+    """A stopword shingle shared by every doc must not quadratically
+    inflate the self-join; rare-shingle near-dups must survive the cap."""
+    common = "the quick brown"  # one 3-gram every doc shares
+    rows = [(i, f"{common} filler{i} mid{i} tail{i}") for i in range(40)]
+    rows += [(100, f"{common} alpha beta gamma delta"),
+             (101, f"{common} alpha beta gamma delta epsilon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.jaccard_pairs(df, k=3, threshold=0.5, df_cap=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got                 # near-dup pair found
+    assert all(a >= 100 for a, b in got)     # filler docs share only hot grams
+    # without the cap the hot shingle alone creates 42*41/2 join rows;
+    # with it, the common gram is gone so jaccard reflects rare grams only
+    j = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}[(100, 101)]
+    uncapped = {(r.id_a, r.id_b): r.jaccard
+                for r in dedup.jaccard_pairs(df, k=3, threshold=0.5).collect()}
+    assert j <= 1.0 and (100, 101) in uncapped
