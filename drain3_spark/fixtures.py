@@ -62,6 +62,9 @@ VIOLATION_SCHEMA = T.StructType([
     T.StructField("detail", T.StringType()),
 ])
 
+# drift-partition sr swap stays INSIDE the legal domain so only the
+# distribution shifts (no row-local sr_domain violations)
+_SR_FLIP = {8000: 48000, 16000: 44100, 22050: 8000, 44100: 16000, 48000: 22050}
 _CODEC_FLIP = {"pcm_s16le": "mulaw", "mulaw": "pcm_s16le",
                "alaw": "pcm_f32le", "pcm_f32le": "alaw"}
 
@@ -118,6 +121,7 @@ def row_meta(i: int, n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
     if drift:
         dur = int(dur * 3 // 2)
         codec = _CODEC_FLIP[codec]
+        sr = _SR_FLIP[sr]
 
     defect = None
     if dirty and not drift and (h % defect_rate) == 0:

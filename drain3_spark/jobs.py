@@ -117,6 +117,8 @@ def run_incremental(spark: SparkSession,
             for rec in (ks_drift(clips, "dur_ms", vcfg_obj.drift_baseline_ds,
                                  vcfg_obj.drift_alpha)
                         + chisq_drift(clips, "codec", vcfg_obj.drift_baseline_ds,
+                                      vcfg_obj.drift_alpha)
+                        + chisq_drift(clips, "sr_hz", vcfg_obj.drift_baseline_ds,
                                       vcfg_obj.drift_alpha)):
                 drift_rows.append((rec["ds"], rec["check"], bool(rec["passed"]),
                                    0 if rec["passed"] else int(rec["rows"]),

@@ -52,6 +52,9 @@ class ValidationConfig:
     drift_alpha: float = 0.05
     with_audio: bool = True
     with_drift: bool = True
+    # declared-schema conformance (SURVEY.md C1): when set, validate()
+    # reports column presence/type drift as table-level rows
+    expected_schema: Optional[T.StructType] = None
 
 
 @dataclass
@@ -59,6 +62,10 @@ class ValidationReport:
     violations: DataFrame
     partition_report: DataFrame
     metrics: DataFrame
+    # (ds, column, value, n) frequency histograms for the drift columns
+    # (north-star column stats: sr_hz/codec frequency histograms); built
+    # from the same shared cube, no extra scan
+    histograms: Optional[DataFrame] = None
 
 
 class ValidationEngine:
@@ -100,14 +107,24 @@ class ValidationEngine:
         cfg = self.cfg
         spark = clips.sparkSession
         violations = self.violations(clips, transcripts_ref,
-                                     include_orphans=include_orphans).persist()
+                                     include_orphans=include_orphans)
+        schema_rows: List[tuple] = []
+        if cfg.expected_schema is not None:
+            schema_rows = [tuple(r) for r in
+                           C.schema_violations(clips, cfg.expected_schema).collect()]
+            if schema_rows:
+                violations = violations.unionByName(
+                    spark.createDataFrame(schema_rows, VIOLATION_SCHEMA))
+        violations = violations.persist()
 
-        # ONE aggregation pass feeds rows_scanned AND both drift
-        # statistics: the (ds, dur_ms, codec) cube is tiny (bounded
-        # value cardinality), everything downstream is driver-side numpy
+        # ONE aggregation pass feeds rows_scanned AND all three drift
+        # statistics: the (ds, dur_ms, codec, sr_hz) cube is tiny
+        # (bounded value cardinality — dur_ms is bounded, codec and
+        # sr_hz are small domains), everything downstream is
+        # driver-side numpy
         hist_rows = None
         if cfg.with_drift:
-            hist_rows = (clips.groupBy("ds", "dur_ms", "codec")
+            hist_rows = (clips.groupBy("ds", "dur_ms", "codec", "sr_hz")
                          .agg(F.count(F.lit(1)).alias("n")).collect())
             per_ds_counts: dict = {}
             for r in hist_rows:
@@ -143,9 +160,17 @@ class ValidationEngine:
                           "rows_scanned", "detail"))
 
         drift_rows: List[tuple] = []
+        histograms = None
         if cfg.with_drift:
-            ks_hist = [(r["ds"], r["dur_ms"], r["n"]) for r in hist_rows]
-            chisq_hist = [(r["ds"], r["codec"], r["n"]) for r in hist_rows]
+            # drift measures distribution SHIFT over in-domain values:
+            # out-of-domain rows are the row-local checks' findings, and
+            # a single such row would make chi-square infinite (category
+            # with zero baseline expectation) — double-flagging the
+            # partition for what is a per-row defect
+            sr_dom = {int(s) for s in cfg.sr_domain}
+            lo, hi = cfg.dur_bounds
+            ks_hist = [(r["ds"], r["dur_ms"], r["n"]) for r in hist_rows
+                       if r["dur_ms"] is not None and lo <= r["dur_ms"] <= hi]
             for rec in ks_drift(None, "dur_ms", cfg.drift_baseline_ds,
                                 cfg.drift_alpha, hist=ks_hist):
                 drift_rows.append((rec["ds"], rec["check"], bool(rec["passed"]),
@@ -153,18 +178,40 @@ class ValidationEngine:
                                    int(rec["rows"]),
                                    f"D={rec['statistic']:.6f} thr={rec['threshold']:.6f} "
                                    f"baseline={rec['baseline_ds']}"))
-            for rec in chisq_drift(None, "codec", cfg.drift_baseline_ds,
-                                   cfg.drift_alpha, hist=chisq_hist):
-                drift_rows.append((rec["ds"], rec["check"], bool(rec["passed"]),
-                                   0 if rec["passed"] else int(rec["rows"]),
-                                   int(rec["rows"]),
-                                   f"chi2={rec['statistic']:.6f} thr={rec['threshold']:.6f} "
-                                   f"baseline={rec['baseline_ds']}"))
+            # chi-square drift over BOTH categorical columns from the
+            # same cube (north-star: sr_hz/codec frequency histograms)
+            for cat in ("codec", "sr_hz"):
+                chisq_hist = [(r["ds"], r[cat], r["n"]) for r in hist_rows
+                              if cat != "sr_hz" or r["sr_hz"] in sr_dom]
+                for rec in chisq_drift(None, cat, cfg.drift_baseline_ds,
+                                       cfg.drift_alpha, hist=chisq_hist):
+                    drift_rows.append((rec["ds"], rec["check"], bool(rec["passed"]),
+                                       0 if rec["passed"] else int(rec["rows"]),
+                                       int(rec["rows"]),
+                                       f"chi2={rec['statistic']:.6f} "
+                                       f"thr={rec['threshold']:.6f} "
+                                       f"baseline={rec['baseline_ds']}"))
+            # per-ds frequency histograms, folded from the cube rows
+            hist_out: dict = {}
+            for r in hist_rows:
+                for col in ("dur_ms", "codec", "sr_hz"):
+                    key = (r["ds"], col, str(r[col]))
+                    hist_out[key] = hist_out.get(key, 0) + int(r["n"])
+            histograms = spark.createDataFrame(
+                [(ds, col, val, n) for (ds, col, val), n in sorted(hist_out.items())],
+                "ds string, column string, value string, n long")
         if drift_rows:
             report = report.unionByName(
                 spark.createDataFrame(drift_rows, PARTITION_REPORT_SCHEMA))
+        if schema_rows is not None and cfg.expected_schema is not None:
+            # table-level schema verdict (C1): one row, ds='__table__'
+            report = report.unionByName(spark.createDataFrame(
+                [("__table__", "schema", len(schema_rows) == 0,
+                  len(schema_rows), None,
+                  "; ".join(r[3] for r in schema_rows) or None)],
+                PARTITION_REPORT_SCHEMA))
 
-        metrics = (report.groupBy("ds").agg(
+        metrics = (report.filter(F.col("ds") != "__table__").groupBy("ds").agg(
             F.max("rows_scanned").alias("rows_scanned"),
             F.sum("violation_count").alias("violations"),
             F.count(F.lit(1)).alias("checks_run"),
@@ -172,4 +219,5 @@ class ValidationEngine:
 
         return ValidationReport(violations=violations,
                                 partition_report=report,
-                                metrics=metrics)
+                                metrics=metrics,
+                                histograms=histograms)

@@ -42,7 +42,8 @@ def test_partition_report_and_metrics(spark, dirty_tables):
     # the drift partition (last ds) must fail both drift checks
     drift_ds = "2026-08-07"
     drift = {r.check: r.passed for r in pr if r.ds == drift_ds and "drift" in r.check}
-    assert drift == {"drift_ks_dur_ms": False, "drift_chisq_codec": False}
+    assert drift == {"drift_ks_dur_ms": False, "drift_chisq_codec": False,
+                     "drift_chisq_sr_hz": False}
     # every other partition passes drift
     other = [r for r in pr if r.ds not in (drift_ds, "2026-08-01") and "drift" in r.check]
     assert other and all(r.passed for r in other)
@@ -93,3 +94,41 @@ def test_template_anomaly(spark):
     assert {r.clip_id for r in v} == {"clip-0000000005"}
     assert v[0].check == "template_anomaly"
     res.unpersist()
+
+
+def test_sr_drift_histograms_and_schema_wired(spark, dirty_tables):
+    """north-star surface: sr_hz drift rows + frequency histograms come
+    out of validate(); the C1 schema check is part of the same flow."""
+    clips, ref, _ = dirty_tables
+    engine = ValidationEngine(ValidationConfig(
+        drift_alpha=0.01, with_audio=False, expected_schema=FX.CLIPS_SCHEMA))
+    report = engine.validate(clips, ref)
+    pr = report.partition_report.collect()
+    sr_rows = [r for r in pr if r.check == "drift_chisq_sr_hz"]
+    assert sr_rows and not [r for r in sr_rows if r.ds == "2026-08-07"][0].passed
+    assert all(r.passed for r in sr_rows if r.ds != "2026-08-07")
+    # conforming schema -> one passing table-level row
+    srow = [r for r in pr if r.check == "schema"]
+    assert len(srow) == 1 and srow[0].passed and srow[0].ds == "__table__"
+    # histograms folded from the same cube: per-ds counts sum to rows
+    h = report.histograms
+    assert h is not None
+    sums = {(r.ds, r.column): 0 for r in h.collect()}
+    for r in h.collect():
+        sums[(r.ds, r.column)] += r.n
+    per_ds = {r["ds"]: r["cnt"] for r in
+              clips.groupBy("ds").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for (ds, col), n in sums.items():
+        assert n == per_ds[ds], (ds, col)
+    assert {r.column for r in h.collect()} == {"dur_ms", "codec", "sr_hz"}
+    report.violations.unpersist()
+
+    # non-conforming schema -> failing table-level row + violation rows
+    bad = clips.drop("codec")
+    engine2 = ValidationEngine(ValidationConfig(
+        with_audio=False, with_drift=False, expected_schema=FX.CLIPS_SCHEMA))
+    rep2 = engine2.validate(bad, None)
+    srow2 = [r for r in rep2.partition_report.collect() if r.check == "schema"]
+    assert len(srow2) == 1 and not srow2[0].passed
+    assert rep2.violations.filter(F.col("check") == "schema").count() == 1
+    rep2.violations.unpersist()
