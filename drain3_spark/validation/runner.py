@@ -23,6 +23,7 @@ Pass structure (scan count matters at 100 TB):
 
 from __future__ import annotations
 
+from contextlib import nullcontext
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -75,7 +76,8 @@ class ValidationEngine:
     def violations(self, clips: DataFrame,
                    transcripts_ref: Optional[DataFrame] = None,
                    include_orphans: bool = True,
-                   materialize: bool = True) -> DataFrame:
+                   materialize: bool = True,
+                   profiler=None) -> DataFrame:
         """Union of all check findings.
 
         ``materialize=True`` (default) runs the JVM-side checks and the
@@ -95,23 +97,35 @@ class ValidationEngine:
             return v
         a = audio_violations(clips, cfg.snr_min, cfg.dur_bounds, cfg.sr_domain)
         if materialize:
-            v = v.persist()
-            v.count()
-            a = a.persist()
-            a.count()
+            # profiler sections time each job; sample counts are in-job
+            # Observation counters (A17, drain3/simple_profiler.py)
+            if profiler is not None:
+                v = profiler.observe("checks_jvm", v)
+                a = profiler.observe("audio_decode", a)
+            with profiler.section("checks_jvm") if profiler else nullcontext():
+                v = v.persist()
+                v.count()
+            with profiler.section("audio_decode") if profiler else nullcontext():
+                a = a.persist()
+                a.count()
         return v.unionByName(a)
 
     def validate(self, clips: DataFrame,
                  transcripts_ref: Optional[DataFrame] = None,
-                 include_orphans: bool = True) -> ValidationReport:
+                 include_orphans: bool = True,
+                 profiler=None) -> ValidationReport:
         cfg = self.cfg
         spark = clips.sparkSession
+        prof_sec = (profiler.section if profiler is not None
+                    else (lambda name: nullcontext()))
         violations = self.violations(clips, transcripts_ref,
-                                     include_orphans=include_orphans)
+                                     include_orphans=include_orphans,
+                                     profiler=profiler)
         schema_rows: List[tuple] = []
         if cfg.expected_schema is not None:
-            schema_rows = [tuple(r) for r in
-                           C.schema_violations(clips, cfg.expected_schema).collect()]
+            with prof_sec("schema_check"):
+                schema_rows = [tuple(r) for r in
+                               C.schema_violations(clips, cfg.expected_schema).collect()]
             if schema_rows:
                 violations = violations.unionByName(
                     spark.createDataFrame(schema_rows, VIOLATION_SCHEMA))
@@ -124,8 +138,12 @@ class ValidationEngine:
         # driver-side numpy
         hist_rows = None
         if cfg.with_drift:
-            hist_rows = (clips.groupBy("ds", "dur_ms", "codec", "sr_hz")
-                         .agg(F.count(F.lit(1)).alias("n")).collect())
+            with prof_sec("drift_cube"):
+                hist_rows = (clips.groupBy("ds", "dur_ms", "codec", "sr_hz")
+                             .agg(F.count(F.lit(1)).alias("n")).collect())
+            if profiler is not None:
+                profiler.add_samples("drift_cube",
+                                     sum(int(r["n"]) for r in hist_rows))
             per_ds_counts: dict = {}
             for r in hist_rows:
                 per_ds_counts[r["ds"]] = per_ds_counts.get(r["ds"], 0) + int(r["n"])
@@ -167,6 +185,8 @@ class ValidationEngine:
             # a single such row would make chi-square infinite (category
             # with zero baseline expectation) — double-flagging the
             # partition for what is a per-row defect
+            if profiler is not None:
+                profiler.start_section("drift_stats")
             sr_dom = {int(s) for s in cfg.sr_domain}
             lo, hi = cfg.dur_bounds
             ks_hist = [(r["ds"], r["dur_ms"], r["n"]) for r in hist_rows
@@ -200,6 +220,8 @@ class ValidationEngine:
             histograms = spark.createDataFrame(
                 [(ds, col, val, n) for (ds, col, val), n in sorted(hist_out.items())],
                 "ds string, column string, value string, n long")
+            if profiler is not None:
+                profiler.end_section("drift_stats")
         if drift_rows:
             report = report.unionByName(
                 spark.createDataFrame(drift_rows, PARTITION_REPORT_SCHEMA))
