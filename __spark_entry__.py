@@ -340,6 +340,22 @@ def _q26_jaccard_mining(spark, sf):
     return res.clusters.select("cluster_id", "group_key", "template", "size")
 
 
+def _q29_jaccard_match_sql(spark, sf):
+    """Jaccard bulk inference: broadcast first-token join +
+    array_intersect/union similarity (rows-only: set-similarity argmax,
+    reference drain3/jaccard_drain.py:204-227; kernel parity pinned by
+    test_jaccard_sql_match_equals_kernel)."""
+    from drain3_spark.config import EngineConfig
+    from drain3_spark.operators.matching import match_clusters_sql_jaccard
+    from drain3_spark.operators.mining import mine_templates
+    cfg = EngineConfig(engine="jaccard")
+    clips = _docs_as_clips(spark, sf)
+    res = mine_templates(clips, cfg)
+    out = match_clusters_sql_jaccard(clips, res.clusters, cfg)
+    return (out.groupBy("matched_cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 def _q27_cluster_report(spark, sf):
     from drain3_spark.config import EngineConfig
     from drain3_spark.diagnostics import cluster_tree_report
@@ -389,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q26_jaccard_mining": _q26_jaccard_mining,
+        "q29_jaccard_match_sql": _q29_jaccard_match_sql,
         "q28_extract_params": _q28_extract_params,
         "q27_cluster_report": _q27_cluster_report,
     }

@@ -88,6 +88,83 @@ def match_clusters_sql(df: DataFrame,
             .drop("_tokens", "_tc", "_ctc", "_cands", "_best"))
 
 
+def match_clusters_sql_jaccard(df: DataFrame,
+                               clusters: DataFrame,
+                               cfg: EngineConfig,
+                               content_col: str = "transcript") -> DataFrame:
+    """Jaccard-engine bulk inference as one broadcast hash join — the
+    scale path for JaccardDrain matching (reference
+    drain3/jaccard_drain.py:204-227: candidate set = clusters under the
+    message's FIRST token, required similarity 0.8 with the 1.3 gain,
+    wildcard slots excluded per :150-180).
+
+    Candidates join on the cluster's creation-time first token (the
+    tree's level-1 key, jaccard_drain.py:22-31); similarity is set
+    Jaccard via ``array_intersect``/``array_union`` — pure Catalyst,
+    ZERO shuffle of the big side.  Ties argmax (sim, wildcard count,
+    lowest cluster id).
+    """
+    w = cfg.param_str
+    required = 0.8  # drain3/jaccard_drain.py:209
+    masked = mask_col(F.col(content_col), cfg.masking, cfg.mask_prefix, cfg.mask_suffix)
+    toks = tokens_col(masked, cfg.extra_delimiters)
+    lhs = df.withColumn("_tokens", toks) \
+            .withColumn("_first", F.coalesce(F.get("_tokens", 0), F.lit("")))
+
+    # candidate arrays per first-token key; the routing column carries
+    # the creation-time tokens whose head is the tree key
+    route = F.coalesce(F.col("routing"), F.col("template"))
+    first_tok = F.coalesce(F.get(F.split(route, " "), 0), F.lit(""))
+    rhs = (clusters
+           .select(first_tok.alias("_cfirst"),
+                   F.struct(
+                       F.col("cluster_id").alias("cid"),
+                       F.when(F.col("template") == "",
+                              F.array().cast("array<string>"))
+                       .otherwise(F.split(F.col("template"), " ")).alias("tpl"),
+                   ).alias("_cand"))
+           .groupBy("_cfirst")
+           .agg(F.collect_list("_cand").alias("_cands")))
+
+    mtoks = F.col("_tokens")
+
+    def scored(c):
+        tpl = c["tpl"]
+        wilds = F.size(F.filter(tpl, lambda t: t == F.lit(w)))
+        # equal lengths: drop message tokens at wildcard slots
+        # (jaccard_drain.py:150-166); else compare whole sequences
+        right = F.when(
+            (F.size(tpl) == F.size(mtoks)) & (wilds > 0),
+            F.filter(F.zip_with(tpl, mtoks,
+                                lambda a, b: F.when(a == F.lit(w), F.lit(None))
+                                .otherwise(b)),
+                     lambda x: x.isNotNull())
+        ).otherwise(mtoks)
+        left = F.filter(tpl, lambda t: t != F.lit(w))  # include_params
+        sa, sb = F.array_distinct(left), F.array_distinct(right)
+        uni = F.size(F.array_union(sa, sb))
+        sim0 = F.when(uni == 0,
+                      # empty template matches anything (kernel: len 0 -> 1.0)
+                      F.when(F.size(tpl) == 0, F.lit(1.0)).otherwise(F.lit(0.0))) \
+            .otherwise(F.size(F.array_intersect(sa, sb)) / uni)
+        sim = F.when(sim0 * 1.3 < 1.0, sim0 * 1.3).otherwise(F.lit(1.0))
+        return F.struct(sim.alias("sim"), wilds.alias("wc"),
+                        (-c["cid"]).alias("negcid"), c["cid"].alias("cid"),
+                        F.concat_ws(" ", tpl).alias("template"))
+
+    ranked = F.transform(F.col("_cands"), scored)
+    best = F.array_max(ranked)
+
+    return (lhs.join(F.broadcast(rhs), F.col("_first") == F.col("_cfirst"), "left")
+            .withColumn("_best", best)
+            .withColumn("matched_cluster_id",
+                        F.when(F.col("_best.sim") >= required, F.col("_best.cid")))
+            .withColumn("matched_template",
+                        F.when(F.col("_best.sim") >= required,
+                               F.col("_best.template")))
+            .drop("_tokens", "_first", "_cfirst", "_cands", "_best"))
+
+
 def match_clusters(df: DataFrame,
                    cluster_rows: List[tuple],
                    cfg: EngineConfig,

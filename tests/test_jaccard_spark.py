@@ -38,3 +38,51 @@ def test_jaccard_spark_mining_and_match(spark):
     assert m["p-1"] == 2
     assert m["p-2"] is None
     res.unpersist()
+
+
+def test_jaccard_sql_match_equals_kernel(spark):
+    """Bulk SQL jaccard inference (broadcast first-token join +
+    array_intersect/union sim, 1.3 gain, 0.8 gate) must match the
+    kernel 'always' path row-for-row on the golden corpus."""
+    from drain3_spark.operators.matching import match_clusters_sql_jaccard
+    from drain3_spark.operators.mining import CLUSTER_SCHEMA
+
+    corpus = LINES + [
+        "check fail; user unknown",
+        "disk /dev/sda1 is 97% full",
+        "disk /dev/sdb2 is 13% full",
+        "backup finished ok",
+        "backup finished with 3 warnings now",
+    ]
+    df = spark.createDataFrame(
+        [("2026-08-01", f"clip-{i:010d}", t) for i, t in enumerate(corpus)],
+        "ds string, clip_id string, transcript string")
+    cfg = EngineConfig(engine="jaccard")
+    res = mine_templates(df, cfg)
+    state = [tuple(r) for r in res.clusters.collect()]
+    clusters_df = spark.createDataFrame(state, CLUSTER_SCHEMA)
+
+    probes = corpus + [
+        "check pass; user zeta",
+        "session opened for user root by (uid=9)",
+        "disk /dev/sdc3 is 55% full",
+        "backup finished ok today",
+        "completely different line with no anchor",
+        "",
+    ]
+    probe = spark.createDataFrame(
+        [("2026-08-02", f"p-{i:04d}", t) for i, t in enumerate(probes)],
+        "ds string, clip_id string, transcript string")
+
+    want = {r.clip_id: r.matched_cluster_id
+            for r in match_clusters(probe, state, cfg, strategy="always").collect()}
+    got_df = match_clusters_sql_jaccard(probe, clusters_df, cfg)
+    got = {r.clip_id: r.matched_cluster_id for r in got_df.collect()}
+    assert got == want, {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+    # at least one real match and one null in the comparison
+    assert any(v is not None for v in want.values())
+    assert any(v is None for v in want.values())
+    # big side never shuffles: broadcast join only
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    res.unpersist()
