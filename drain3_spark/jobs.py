@@ -12,6 +12,7 @@ fidelity and batch/stream symmetry (SURVEY.md §2.B streaming row).
 
 from __future__ import annotations
 
+import time as _time
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -33,6 +34,7 @@ class BatchResult:
     report: Optional[ValidationReport]
     assignments_count: int
     new_clusters: int
+    committed: bool = True   # False = snapshot skipped (no cluster delta)
 
 
 def run_incremental(spark: SparkSession,
@@ -76,7 +78,12 @@ def run_incremental(spark: SparkSession,
                 report.metrics.write.mode("overwrite").parquet(
                     f"{out_dir}/metrics/ds={ds}")
         rows = [tuple(r) for r in clusters_df.collect()]
-        n_assign = mined.assignments.count()
+        # one aggregation feeds rows_mined AND the cluster-delta signal
+        agg = mined.assignments.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("change_type") != "none").cast("long")).alias("nc")
+        ).first()
+        n_assign, n_changes = int(agg["n"]), int(agg["nc"] or 0)
         # monotonic counter: prior + clusters created this batch — NOT
         # max(live ids), which would reuse the ids of LRU-evicted
         # clusters (reference drain3/drain.py:201-202 never reuses ids)
@@ -91,13 +98,25 @@ def run_incremental(spark: SparkSession,
                 "ds string, batch_id long, rows_mined long, templates_seen long, "
                 "clusters_created long, violations long")
             lineage.write.mode("overwrite").parquet(f"{out_dir}/lineage/ds={ds}")
-        store.commit(idx, clusters_df, counter, batch_key=ds)
+        # snapshot cadence (reference template_miner.py:124-132): write
+        # state when the batch CHANGED a cluster (created / template
+        # changed), else only when the periodic interval elapsed — pure
+        # size increments don't force a snapshot.  Skipped batches stay
+        # above the high-watermark, so a crash replays them onto the
+        # last committed state (deterministic => same result).
+        last_save = store.latest_commit_time()
+        periodic_due = (last_save is None or
+                        _time.time() - last_save
+                        >= cfg.snapshot_interval_minutes * 60)
+        committed = n_changes > 0 or periodic_due
+        if committed:
+            store.commit(idx, clusters_df, counter, batch_key=ds)
         mined.unpersist()
         if report is not None:
             report.violations.unpersist()
         prior = rows
         results.append(BatchResult(idx, ds, rows, counter, report,
-                                   n_assign, new_clusters))
+                                   n_assign, new_clusters, committed))
 
     # corpus-level passes, rewritten (not appended) every invocation so a
     # resume replaces any partial-corpus result:

@@ -60,6 +60,14 @@ class CheckpointStore:
         batches = self.committed_batches()
         return batches[-1] if batches else None
 
+    def latest_commit_time(self) -> Optional[float]:
+        """Epoch mtime of the newest commit marker (snapshot-cadence
+        clock, reference template_miner.py:128-131 last_save_time)."""
+        hw = self.high_watermark()
+        if hw is None:
+            return None
+        return os.path.getmtime(os.path.join(self.root, f"_committed_{hw}"))
+
     def latest(self, spark: SparkSession
                ) -> Tuple[Optional[int], List[tuple], int, str]:
         """(batch_id, cluster rows, counter, batch_key) of the latest commit;

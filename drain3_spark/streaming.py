@@ -46,13 +46,23 @@ def make_batch_processor(store: CheckpointStore,
     snapshot on init (drain3/template_miner.py:80-122): state already
     containing a message's effect is never re-fed that message."""
 
+    # in-memory state carried across micro-batches within one query run
+    # (the reference miner object lives across messages the same way);
+    # the store is read only on (re)start.  Snapshot-skipped deltas thus
+    # survive to the next commit; only a crash loses them — exactly the
+    # reference's un-snapshotted-messages window.
+    mem: dict = {"hw": None, "rows": None, "counter": 0, "dirty": False}
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        hw, prior, counter, last_key = store.latest(spark)
-        if last_key == f"stream-{batch_id}":
-            return  # at-least-once replay of an already-committed batch
+        if mem["rows"] is None:
+            hw, prior, counter, last_key = store.latest(spark)
+            if last_key == f"stream-{batch_id}":
+                return  # at-least-once replay of an already-committed batch
+        else:
+            hw, prior, counter = mem["hw"], mem["rows"], mem["counter"]
         mined = mine_templates(batch_df, cfg, order_cols=order_cols,
                                prior_clusters=prior, prior_counter=counter)
         mined.assignments.write.mode("overwrite").parquet(
@@ -66,11 +76,38 @@ def make_batch_processor(store: CheckpointStore,
             report.violations.unpersist()
         # monotonic: prior + created, never max(live ids) (see jobs.py)
         new_counter = mined.updated_counter()
+        rows = [tuple(r) for r in mined.clusters.collect()]
+        # snapshot cadence (reference template_miner.py:124-132): commit
+        # on cluster change, else only when the interval elapsed
+        import time as _time
+        n_changes = int(mined.assignments.agg(
+            F.sum((F.col("change_type") != "none").cast("long"))).first()[0] or 0)
+        last_save = store.latest_commit_time()
+        periodic_due = (last_save is None or
+                        _time.time() - last_save
+                        >= cfg.snapshot_interval_minutes * 60)
         next_id = (hw + 1) if hw is not None else 0
-        store.commit(next_id, mined.clusters, new_counter,
-                     batch_key=f"stream-{batch_id}")
+        if n_changes > 0 or periodic_due:
+            store.commit(next_id, mined.clusters, new_counter,
+                         batch_key=f"stream-{batch_id}")
+            mem["hw"], mem["dirty"] = next_id, False
+        else:
+            mem["hw"], mem["dirty"] = hw, True
+        mem["rows"], mem["counter"] = rows, new_counter
         mined.unpersist()
 
+    def flush(spark: SparkSession) -> None:
+        """Snapshot any cadence-deferred state (query shutdown — the
+        analog of the reference's final save before exit)."""
+        if not mem["dirty"] or mem["rows"] is None:
+            return
+        from drain3_spark.operators.mining import CLUSTER_SCHEMA
+        clusters = spark.createDataFrame(mem["rows"], CLUSTER_SCHEMA)
+        next_id = (mem["hw"] + 1) if mem["hw"] is not None else 0
+        store.commit(next_id, clusters, mem["counter"], batch_key="stream-flush")
+        mem["hw"], mem["dirty"] = next_id, False
+
+    process_batch.flush = flush
     return process_batch
 
 
@@ -116,4 +153,6 @@ def run_streaming(spark: SparkSession,
         if timeout_sec:
             query.awaitTermination(timeout_sec)
             query.stop()
+    # snapshot any cadence-deferred state before handing the store back
+    process_batch.flush(spark)
     return store

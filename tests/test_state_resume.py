@@ -27,16 +27,20 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     clips = FX.gen_clips(spark, 120, dirty=False, n_ds=3,
                          dur_lo=200, dur_hi=400).cache()
 
-    full = run_incremental(spark, clips, str(tmp_path / "full"),
+    # snapshot_interval_minutes=0 -> every batch commits (periodic always
+    # due), making resume points exact; change-driven skipping is the
+    # default cadence and has its own test
+    cfg = EngineConfig(snapshot_interval_minutes=0)
+    full = run_incremental(spark, clips, str(tmp_path / "full"), cfg=cfg,
                            validate=False)
     assert [b.ds for b in full] == ["2026-08-01", "2026-08-02", "2026-08-03"]
 
     # interrupted run: first two batches, then a "new process" resumes
     part_dir = str(tmp_path / "part")
     two_ds = clips.filter(clips.ds != "2026-08-03")
-    first = run_incremental(spark, two_ds, part_dir, validate=False)
+    first = run_incremental(spark, two_ds, part_dir, cfg=cfg, validate=False)
     assert len(first) == 2
-    resumed = run_incremental(spark, clips, part_dir, validate=False)
+    resumed = run_incremental(spark, clips, part_dir, cfg=cfg, validate=False)
     assert [b.ds for b in resumed] == ["2026-08-03"]
 
     final_full = {tuple(r) for r in full[-1].clusters}
@@ -45,7 +49,7 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     assert full[-1].counter == resumed[-1].counter
 
     # re-running once more is a no-op (idempotence)
-    assert run_incremental(spark, clips, part_dir, validate=False) == []
+    assert run_incremental(spark, clips, part_dir, cfg=cfg, validate=False) == []
     clips.unpersist()
 
 
@@ -73,3 +77,32 @@ def test_incremental_outputs_and_lineage(spark, tmp_path):
     fails = {(r.ds, r.check) for r in drift if not r.passed}
     assert all(ds == "2026-08-03" for ds, _ in fails)
     assert fails, "shifted partition must fail at least one drift check"
+
+
+def test_incremental_snapshot_cadence(spark, tmp_path):
+    """A ds batch with no cluster delta writes no new snapshot; resume
+    from the last commit still converges to the uninterrupted result
+    (reference template_miner.py:124-132 change-driven cadence)."""
+    from drain3_spark.config import EngineConfig
+    from drain3_spark.jobs import run_incremental
+
+    rows = []
+    for j in range(4):
+        rows.append(("2026-08-01", f"clip-1-{j:06d}", "alpha beta gamma"))
+    for j in range(4):  # ds2 repeats ds1's template exactly -> no delta
+        rows.append(("2026-08-02", f"clip-2-{j:06d}", "alpha beta gamma"))
+    rows.append(("2026-08-03", "clip-3-000000", "something new here"))
+    clips = spark.createDataFrame(
+        rows, "ds string, clip_id string, transcript string")
+
+    cfg = EngineConfig(snapshot_interval_minutes=60)
+    res = run_incremental(spark, clips, str(tmp_path / "st"), cfg=cfg,
+                          validate=False)
+    assert [b.committed for b in res] == [True, False, True]
+    store_batches = sorted(
+        int(n.rsplit("_", 1)[1]) for n in
+        __import__("os").listdir(str(tmp_path / "st")) if n.startswith("_committed_"))
+    assert store_batches == [0, 2]  # ds2 never snapshotted
+    # final state carries ds2's size increments through the ds3 commit
+    final = {r[3]: r[4] for r in res[-1].clusters}
+    assert final["alpha beta gamma"] == 8

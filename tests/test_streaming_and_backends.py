@@ -138,21 +138,58 @@ def test_stream_replay_is_idempotent(spark, tmp_path):
     clips = FX.gen_clips(spark, 60, n_ds=1, dur_lo=200, dur_hi=400).cache()
     store = CheckpointStore(str(tmp_path / "state"))
     proc = make_batch_processor(
-        store, EngineConfig(),
+        store, EngineConfig(snapshot_interval_minutes=0),
         ValidationEngine(ValidationConfig(with_audio=False, with_drift=False)),
         str(tmp_path / "out"), validate=False)
 
     proc(clips, 0)
     hw1, rows1, counter1, key1 = store.latest(spark)
     assert key1 == "stream-0"
-    proc(clips, 0)  # replay: crash happened between commit and checkpoint
+    # crash between commit and stream checkpoint -> restart re-delivers
+    # batch 0 to a FRESH processor (foreachBatch restart semantics)
+    proc2 = make_batch_processor(
+        store, EngineConfig(snapshot_interval_minutes=0),
+        ValidationEngine(ValidationConfig(with_audio=False, with_drift=False)),
+        str(tmp_path / "out"), validate=False)
+    proc2(clips, 0)
     hw2, rows2, counter2, key2 = store.latest(spark)
     assert (hw2, counter2, key2) == (hw1, counter1, key1)
     assert sorted(rows2) == sorted(rows1)  # sizes NOT double-counted
-    proc(clips, 1)  # a genuinely new batch still commits
+    proc2(clips, 1)  # a genuinely new batch still commits
     hw3, _, _, key3 = store.latest(spark)
     assert hw3 == hw1 + 1 and key3 == "stream-1"
     clips.unpersist()
+
+
+def test_stream_snapshot_cadence_skips_no_delta(spark, tmp_path):
+    """A micro-batch with no cluster change (sizes only) must not write
+    a new snapshot (reference template_miner.py:124-132); its increments
+    survive in memory and reach the next commit."""
+    from drain3_spark.streaming import make_batch_processor
+    from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
+
+    def batch(i, lines):
+        rows = [(f"2026-08-0{i+1}", f"clip-{i:02d}{j:08d}", t)
+                for j, t in enumerate(lines)]
+        return spark.createDataFrame(rows, "ds string, clip_id string, transcript string")
+
+    store = CheckpointStore(str(tmp_path / "state"))
+    proc = make_batch_processor(
+        store, EngineConfig(snapshot_interval_minutes=60),
+        ValidationEngine(ValidationConfig(with_audio=False, with_drift=False)),
+        str(tmp_path / "out"), validate=False)
+
+    proc(batch(0, ["alpha beta", "gamma delta run"]), 0)   # creates -> commit
+    assert store.committed_batches() == [0]
+    proc(batch(1, ["alpha beta", "alpha beta"]), 1)        # sizes only -> skip
+    assert store.committed_batches() == [0]
+    proc(batch(2, ["omega new thing appears"]), 2)         # change -> commit
+    assert store.committed_batches() == [0, 1]
+    _, rows, counter, _ = store.latest(spark)
+    sizes = {r[3]: r[4] for r in rows}
+    # the skipped batch's size increments reached the next snapshot
+    assert sizes["alpha beta"] == 3
+    assert counter == 3
 
 
 def test_counter_monotonic_under_lru_eviction(spark):
