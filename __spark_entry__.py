@@ -317,14 +317,34 @@ def _q24_audio_validation(spark, sf):
 
 def _q28_extract_params(spark, sf):
     """Slot-value extraction over mined templates (rows-only: python
-    regex semantics, reference drain3/template_miner.py:205-331)."""
+    regex semantics, reference drain3/template_miner.py:205-331).
+
+    The corpus is synthesized from the events table (user/type/value
+    fields embedded in a sentence) so templates carry real parameter
+    slots — the documents corpus is digit-light and would extract ~0
+    params per row."""
     from drain3_spark.config import EngineConfig, MaskRule
     from drain3_spark.operators.extraction import extract_params_col
     from drain3_spark.operators.matching import match_clusters_sql
     from drain3_spark.operators.mining import mine_templates
     cfg = EngineConfig(mining_mode="exact", mining_salt=0,
                        masking=[MaskRule(NUM_MASK_PATTERN, "NUM")])
-    clips = _docs_as_clips(spark, sf)
+    e = _t(spark, sf, "events")
+    full = F.concat(F.lit("user "), F.col("user_id").cast("string"),
+                    F.lit(" ran "), F.col("event_type"),
+                    F.lit(" step "), F.get_json_object("props", "$.k"),
+                    F.lit(" value "),
+                    F.round(F.col("value"), 0).cast("long").cast("string"),
+                    F.lit(" done"))
+    bare = F.concat(F.lit("user "), F.col("user_id").cast("string"),
+                    F.lit(" ran "), F.col("event_type"),
+                    F.lit(" flagged without step marker"))
+    k = F.get_json_object("props", "$.k").cast("long")
+    clips = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("ds"),
+        F.format_string("ev-%012d", F.col("event_id")).alias("clip_id"),
+        F.when(F.col("props").isNull() | (k % 3 == 0), bare)
+        .otherwise(full).alias("transcript"))
     res = mine_templates(clips, cfg)
     matched = match_clusters_sql(clips, res.clusters, cfg)
     params = extract_params_col(F.col("matched_template"), F.col("transcript"), cfg)
