@@ -23,6 +23,17 @@ def get_spark(app_name: str = "drain3_spark",
     if cpus and master.startswith("local["):
         master = f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    # heap scales with local task concurrency: 32 concurrent tasks in the
+    # default 8g heap spend 2-3x wall time in GC on shuffle aggregations
+    # (measured: uniqueness 7.7s -> 4.0s, drift cube 6.0s -> 2.8s at
+    # local[32] moving 8g -> 24g; no effect at local[8]).  On a real
+    # cluster this is executor memory sizing — per-task headroom, not a
+    # single shared heap.
+    n_local = 0
+    if master.startswith("local"):
+        inner = master[master.find("[") + 1:master.find("]")] if "[" in master else "1"
+        n_local = os.cpu_count() if inner == "*" else int(inner)
+    default_mem = "24g" if n_local >= 16 else "8g"
     b = (
         SparkSession.builder.master(master).appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
@@ -42,7 +53,8 @@ def get_spark(app_name: str = "drain3_spark",
         # on the audio pass); AQE coalesces the shuffle side anyway
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
