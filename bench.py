@@ -77,7 +77,7 @@ def main() -> None:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # ---- clips validation throughput (north metric) ----
-    work = "/tmp/drain3_spark_bench_clips"
+    work = "/tmp/drain3_spark_bench_clips_v2"  # v2: fixture adds sr-flip on the drift partition
     clips_path = f"{work}/clips_{n_clips}"
     ref_path = f"{work}/ref_{n_clips}"
     if not os.path.exists(clips_path + "/_SUCCESS"):

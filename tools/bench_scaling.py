@@ -76,6 +76,16 @@ print(json.dumps({"cpus": cpus, "rows": n, "sec": round(dt, 2),
 """
 
 
+def _cpu_work(_):
+    """One ~0.5s unit of pure numpy CPU work (module-level: Pool pickles it)."""
+    import numpy as np
+    x = np.arange(2_000_000, dtype=np.float64)
+    s = 0.0
+    for _ in range(15):
+        s += float(np.sin(x).sum())
+    return s
+
+
 def raw_cpu_speedup(lo: int, hi: int, units: int = 64) -> dict:
     """Hardware control: aggregate throughput of pure numpy work across
     N processes — no Spark, no JVM, no I/O.  On this sandbox the guest
@@ -84,22 +94,13 @@ def raw_cpu_speedup(lo: int, hi: int, units: int = 64) -> dict:
     scaling efficiency is therefore also reported NORMALIZED to what the
     silicon actually provides (engine speedup / raw-CPU speedup)."""
     import multiprocessing as mp
-
-    import numpy as np
-
-    def work(_):
-        x = np.arange(2_000_000, dtype=np.float64)
-        s = 0.0
-        for _ in range(15):
-            s += float(np.sin(x).sum())
-        return s
-
     import time
+
     out = {}
     for procs in (lo, hi):
         with mp.Pool(procs) as p:
             t0 = time.time()
-            p.map(work, range(units))
+            p.map(_cpu_work, range(units))
             out[procs] = units / (time.time() - t0)
     return {"lo_units_per_sec": round(out[lo], 2),
             "hi_units_per_sec": round(out[hi], 2),
@@ -108,7 +109,7 @@ def raw_cpu_speedup(lo: int, hi: int, units: int = 64) -> dict:
 
 def main() -> None:
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
-    work = "/tmp/drain3_spark_scaling"
+    work = "/tmp/drain3_spark_scaling_v2"  # v2: fixture adds sr-flip on the drift partition
     clips_path = f"{work}/clips_{n_clips}"
     ref_path = f"{work}/ref_{n_clips}"
 
