@@ -595,6 +595,41 @@ def oracle_sql() -> dict[str, str]:
               from documents)
             select {lang_case} as lang_pred, count(*) as n_docs
             from s group by 1""",
+        "q18_simhash": f"""
+            with norm as (select doc_id, {_NORM} as t from documents),
+            toks as (select doc_id, unnest(string_split(t, ' ')) as tok from norm),
+            h as (select doc_id,
+                         ('0x' || substr(md5(tok), 1, 15))::bigint as hv
+                  from toks),
+            bits as (
+              select doc_id, i.i,
+                     sum(case when (hv >> i.i) & 1 = 1 then 1 else -1 end) as v
+              from h cross join (select unnest(generate_series(0, 59)) as i) i
+              group by 1, 2)
+            select doc_id,
+                   cast(sum(case when v > 0 then (1::bigint << i) else 0 end)
+                        as bigint) as simhash
+            from bits group by doc_id""",
+        "q23_ivf_ann": """
+            with q as (select embedding::double[] as qv
+                       from embeddings where vec_id = 7),
+            cents as (select vec_id as cid, embedding::double[] as cvec
+                      from embeddings order by vec_id limit 8),
+            assign as (
+              select e.vec_id,
+                     (select c.cid from cents c
+                      order by list_distance(e.embedding::double[], c.cvec), c.cid
+                      limit 1) as bucket
+              from embeddings e),
+            probes as (select cid from cents, q
+                       order by list_distance(cvec, qv), cid limit 4)
+            select e.vec_id,
+                   round(list_cosine_similarity(e.embedding::double[], q.qv), 6)
+                     as cosine
+            from embeddings e
+            join assign a on a.vec_id = e.vec_id, q
+            where a.bucket in (select cid from probes)
+            order by cosine desc, e.vec_id limit 10""",
         "q21_ann_cosine": """
             with q as (select embedding as qv from embeddings where vec_id = 0)
             select vec_id,

@@ -23,6 +23,12 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     spark = get_spark("batch_validate_demo")
     work = "/tmp/drain3_spark_demo"
+    # fresh demo every run — a leftover state dir would resume past all
+    # batches (which is exactly what the resume contract should do, but
+    # makes a demo print nothing)
+    import shutil
+    shutil.rmtree(f"{work}/state", ignore_errors=True)
+    shutil.rmtree(f"{work}/out", ignore_errors=True)
 
     print(f"synthesizing {n} clips (dirty, 7 day-partitions)...")
     FX.write_clips(FX.gen_clips(spark, n, dirty=True, dur_lo=100, dur_hi=400),
