@@ -44,8 +44,14 @@ def run_incremental(spark: SparkSession,
                     vcfg: Optional[ValidationConfig] = None,
                     transcripts_ref: Optional[DataFrame] = None,
                     validate: bool = True,
-                    out_dir: Optional[str] = None) -> List[BatchResult]:
-    """Mine + validate each ds partition as one committed micro-batch."""
+                    out_dir: Optional[str] = None,
+                    profiler=None) -> List[BatchResult]:
+    """Mine + validate each ds partition as one committed micro-batch.
+
+    ``profiler`` (an EngineProfiler) accumulates per-stage sections
+    across all batches; lineage rows always carry per-batch wall times
+    (mine/validate/total), the timing the reference profiler attaches to
+    its mining stats (drain3/simple_profiler.py:101-119)."""
     cfg = cfg or EngineConfig()
     engine = ValidationEngine(vcfg or ValidationConfig())
     store = CheckpointStore(state_dir)
@@ -57,26 +63,13 @@ def run_incremental(spark: SparkSession,
         if hw is not None and idx <= hw:
             continue  # already committed — resume point
         batch = clips.filter(F.col("ds") == ds)
+        t_batch = _time.monotonic()
         mined = mine_templates(batch, cfg, prior_clusters=prior,
                                prior_counter=counter)
         clusters_df = mined.clusters
-        report = None
-        if validate:
-            # orphan detection is corpus-level and handled after the loop
-            from dataclasses import replace as _replace
-            batch_engine = ValidationEngine(_replace(engine.cfg, with_drift=False))
-            report = batch_engine.validate(batch, transcripts_ref,
-                                           include_orphans=False)
         if out_dir:
             mined.assignments.write.mode("overwrite").parquet(
                 f"{out_dir}/assignments/ds={ds}")
-            if report is not None:
-                report.violations.write.mode("overwrite").parquet(
-                    f"{out_dir}/violations/ds={ds}")
-                report.partition_report.write.mode("overwrite").parquet(
-                    f"{out_dir}/partition_report/ds={ds}")
-                report.metrics.write.mode("overwrite").parquet(
-                    f"{out_dir}/metrics/ds={ds}")
         rows = [tuple(r) for r in clusters_df.collect()]
         # one aggregation feeds rows_mined AND the cluster-delta signal
         agg = mined.assignments.agg(
@@ -84,19 +77,45 @@ def run_incremental(spark: SparkSession,
             F.sum((F.col("change_type") != "none").cast("long")).alias("nc")
         ).first()
         n_assign, n_changes = int(agg["n"]), int(agg["nc"] or 0)
+        mine_sec = _time.monotonic() - t_batch
+
+        report = None
+        validate_sec = None
+        if validate:
+            t_val = _time.monotonic()
+            # orphan detection is corpus-level and handled after the loop
+            from dataclasses import replace as _replace
+            batch_engine = ValidationEngine(_replace(engine.cfg, with_drift=False))
+            report = batch_engine.validate(batch, transcripts_ref,
+                                           include_orphans=False,
+                                           profiler=profiler)
+            if out_dir:
+                report.violations.write.mode("overwrite").parquet(
+                    f"{out_dir}/violations/ds={ds}")
+                report.partition_report.write.mode("overwrite").parquet(
+                    f"{out_dir}/partition_report/ds={ds}")
+                report.metrics.write.mode("overwrite").parquet(
+                    f"{out_dir}/metrics/ds={ds}")
+            validate_sec = _time.monotonic() - t_val
         # monotonic counter: prior + clusters created this batch — NOT
         # max(live ids), which would reuse the ids of LRU-evicted
         # clusters (reference drain3/drain.py:201-202 never reuses ids)
         counter = mined.updated_counter()
         new_clusters = len(rows) - len(prior)
         if out_dir:
-            # per-partition lineage (SURVEY.md C12; reference profiler
-            # analog drain3/simple_profiler.py:101-119)
+            # per-partition lineage with stage wall times (SURVEY.md C12;
+            # reference profiler analog drain3/simple_profiler.py:101-119)
+            total_sec = _time.monotonic() - t_batch
             lineage = spark.createDataFrame(
                 [(ds, idx, n_assign, len(rows), new_clusters,
-                  int(report.violations.count()) if report is not None else None)],
+                  int(report.violations.count()) if report is not None else None,
+                  round(mine_sec, 3),
+                  round(validate_sec, 3) if validate_sec is not None else None,
+                  round(total_sec, 3),
+                  round(n_assign / total_sec, 1) if total_sec > 0 else None)],
                 "ds string, batch_id long, rows_mined long, templates_seen long, "
-                "clusters_created long, violations long")
+                "clusters_created long, violations long, mine_sec double, "
+                "validate_sec double, total_sec double, rows_per_sec double")
             lineage.write.mode("overwrite").parquet(f"{out_dir}/lineage/ds={ds}")
         # snapshot cadence (reference template_miner.py:124-132): write
         # state when the batch CHANGED a cluster (created / template

@@ -72,6 +72,10 @@ def test_incremental_outputs_and_lineage(spark, tmp_path):
         .parquet(f"{out}/lineage/ds=*").collect()
     assert {r.ds for r in lineage} == {"2026-08-01", "2026-08-02", "2026-08-03"}
     assert all(r.rows_mined > 0 and r.templates_seen > 0 for r in lineage)
+    # stage wall times ride on every lineage row (profiler analog)
+    assert all(r.mine_sec > 0 and r.validate_sec > 0
+               and r.total_sec >= r.mine_sec and r.rows_per_sec > 0
+               for r in lineage)
     # drift report exists and only the shifted partition fails
     drift = spark.read.parquet(f"{out}/drift_report_corpus").collect()
     fails = {(r.ds, r.check) for r in drift if not r.passed}
