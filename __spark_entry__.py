@@ -543,9 +543,12 @@ def oracle_sql() -> dict[str, str]:
         "q15_jaccard_pairs": f"""
             with {_SHINGLES},
             capped as (
+              -- document-frequency cap per (block, shingle), matching
+              -- the engine's inverted-index formulation
               select sh.* from sh
-              join (select shingle from sh group by shingle
-                    having count(*) <= 50) ok on ok.shingle = sh.shingle),
+              join (select source, shingle from sh group by 1, 2
+                    having count(*) <= 50) ok
+                on ok.shingle = sh.shingle and ok.source = sh.source),
             sizes as (select doc_id, count(*) as n_sh from capped group by doc_id),
             common as (
               select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_common

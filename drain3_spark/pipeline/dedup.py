@@ -67,26 +67,58 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     (id_a, id_b, jaccard) with id_a < id_b.
 
     ``df_cap`` is the scale guard: a shingle shared by s documents
-    contributes s² rows to the self-join, so stopword-like k-grams make
-    the join quadratic on a large corpus.  With ``df_cap`` set, shingles
-    whose document frequency exceeds the cap are dropped BEFORE sizing
-    and joining — Jaccard is then computed over the capped shingle
-    universe (the standard document-frequency filter: near-duplicate
-    pairs share many *rare* shingles, so recall is preserved while the
-    per-shingle join fan-out is bounded by df_cap²).  Corpora where even
-    capped traffic is too hot should route through
+    contributes s² join rows, so stopword-like k-grams make the
+    self-join quadratic on a large corpus.  With ``df_cap`` set the
+    operator switches to an INVERTED-INDEX formulation: one aggregation
+    builds per-shingle posting lists (within the block if given),
+    shingles whose document frequency exceeds the cap are dropped by a
+    free ``size(ids) <= cap`` filter, and candidate pairs explode from
+    the bounded lists (≤ cap² structs per shingle, no self-join at
+    all).  Jaccard is computed over the capped shingle universe — the
+    standard document-frequency filter: near-duplicate pairs share many
+    *rare* shingles, so recall is preserved.  With ``block_col`` the
+    frequency is per (block, shingle).  Corpora where even capped
+    traffic is too hot should route through
     :func:`minhash_lsh_duplicates` instead.
     """
     sh = shingle_rows(df, id_col, text_col, k)
     if block_col:
         blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("_blk"))
         sh = sh.join(blocks, "id")
+
     if df_cap is not None:
-        # the hot set is tiny by construction -> broadcast anti-join;
-        # the df aggregation itself is map-side-combine friendly
-        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-               .filter(F.col("_df") > df_cap).select("shingle"))
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        gcols = (["_blk"] if block_col else []) + ["shingle"]
+        postings = (sh.groupBy(*gcols)
+                    .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+                    .filter(F.size("ids") <= df_cap))
+        # per-doc shingle counts over the KEPT universe — derived from
+        # the postings, so the text is exploded exactly once
+        sizes = (postings.select(F.explode("ids").alias("id"))
+                 .groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")))
+        pair = F.filter(
+            F.flatten(F.transform(
+                F.col("ids"),
+                lambda a: F.transform(F.col("ids"),
+                                      lambda b: F.struct(a.alias("id_a"),
+                                                         b.alias("id_b"))))),
+            lambda s: s["id_a"] < s["id_b"])
+        common = (postings
+                  .select(F.explode(pair).alias("p"))
+                  .groupBy(F.col("p.id_a").alias("id_a"),
+                           F.col("p.id_b").alias("id_b"))
+                  .agg(F.count(F.lit(1)).alias("n_common")))
+        return (common
+                .join(sizes.select(F.col("id").alias("id_a"),
+                                   F.col("n_sh").alias("n_a")), "id_a")
+                .join(sizes.select(F.col("id").alias("id_b"),
+                                   F.col("n_sh").alias("n_b")), "id_b")
+                .withColumn("jaccard",
+                            F.round(F.col("n_common")
+                                    / (F.col("n_a") + F.col("n_b")
+                                       - F.col("n_common")), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("id").alias("id_a"), "shingle",
