@@ -159,12 +159,21 @@ def mine_templates(df: DataFrame,
         keyed = keyed.withColumn("token_count", F.size("tokens"))
     else:
         gnames = ["token_count"] + (["prefix_key"] if len(gcols) > 1 else [])
-    # salt resolution: 0 = auto — split every group into ~defaultParallelism
-    # banks so mining parallelism tracks the cluster, not the group count
-    # (~6-13 distinct token counts on template corpora would otherwise cap
-    # the post-shuffle stage forever, regardless of cluster size)
-    salt = cfg.mining_salt if cfg.mining_salt >= 1 else max(
-        2, spark.sparkContext.defaultParallelism)
+    # salt resolution: 0 = auto — make the post-shuffle mining stage's
+    # task count track the cluster, not the corpus's group count (~6-13
+    # distinct token counts on template corpora would otherwise cap it
+    # forever, regardless of cluster size).  The group count is estimated
+    # from a bounded prefix (one cheap job over <=50k rows: partitions
+    # are consumed in order, so the estimate is stable for stable input);
+    # salt = ceil(2*parallelism / est_groups) so groups*salt ≈ 2x cores.
+    # Corpora that already have many groups resolve to salt=1 and skip
+    # the merge pass entirely.
+    if cfg.mining_salt == 0:
+        est_groups = max(1, keyed.limit(50000).select(*gnames).distinct().count())
+        par = spark.sparkContext.defaultParallelism
+        salt = max(1, min(par, -(-2 * par // est_groups)))
+    else:
+        salt = cfg.mining_salt
     salted = salt > 1
     if salted:
         keyed = keyed.withColumn(
