@@ -140,11 +140,51 @@ def ivf_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
 
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                           block_col: str = "label", id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          method: str = "catalyst") -> DataFrame:
     """Embedding near-duplicate pairs within blocks: the block column
-    bounds the pair space (label, LSH bucket, or IVF bucket)."""
+    bounds the pair space (label, LSH bucket, or IVF bucket).
+
+    ``method="catalyst"`` (default) is the pure-expression self-join —
+    bit-reproducible against the DuckDB oracle (sequential double sums).
+    ``method="blas"`` is the scale path: ONE shuffle groups each block
+    into an Arrow task, numpy computes the normalized Gram matrix
+    (X @ X.T — BLAS, dim-vectorized) and emits only above-threshold
+    pairs; per-block work is O(n² d) in native code instead of
+    interpreted expressions, and the quadratic intermediate never
+    leaves the task.  Same pairs; cosines agree to float tolerance.
+    """
     e = embeddings.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
                           F.col(vec_col).cast("array<double>").alias("vec"))
+    if method == "blas":
+        import numpy as np
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType([
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ])
+        th = float(threshold)
+
+        def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            X = np.asarray([list(v) for v in pdf["vec"].iloc[order]],
+                           dtype=np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0.0] = 1.0
+            S = (X / norms[:, None]) @ (X / norms[:, None]).T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            cos = np.round(S[iu, ju], 6)
+            keep = cos >= th
+            return pd.DataFrame({"id_a": ids[iu[keep]].astype("int64"),
+                                 "id_b": ids[ju[keep]].astype("int64"),
+                                 "cosine": cos[keep]})
+
+        return e.groupBy("blk").applyInPandas(block_pairs, out_schema)
+
     a = e.select(F.col("id").alias("id_a"), "blk", F.col("vec").alias("vec_a"))
     b = e.select(F.col("id").alias("id_b"), F.col("blk").alias("blk_b"),
                  F.col("vec").alias("vec_b"))

@@ -65,26 +65,53 @@ class MemoryBackend(StateBackend):
 
 class KafkaBackend(StateBackend):
     """Latest-message-of-topic snapshot (reference drain3/kafka_persistence.py:10-39).
-    Requires ``kafka-python`` (absent in this sandbox)."""
 
-    def __init__(self, topic: str, **kafka_kwargs) -> None:
-        try:
-            import kafka  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise ImportError("KafkaBackend requires kafka-python") from e
+    Client factories are injectable so the last-message-wins protocol is
+    testable without a broker; the defaults require ``kafka-python``
+    (absent in this sandbox)."""
+
+    def __init__(self, topic: str,
+                 producer_factory=None, consumer_factory=None,
+                 **kafka_kwargs) -> None:
+        if producer_factory is None or consumer_factory is None:
+            try:
+                import kafka  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise ImportError("KafkaBackend requires kafka-python "
+                                  "(or injected client factories)") from e
         self.topic = topic
         self.kafka_kwargs = kafka_kwargs
+        self._producer_factory = producer_factory
+        self._consumer_factory = consumer_factory
 
-    def save_state(self, state: bytes) -> None:  # pragma: no cover
-        from kafka import KafkaProducer
-        producer = KafkaProducer(**self.kafka_kwargs)
+    def _producer(self):
+        if self._producer_factory is not None:
+            return self._producer_factory(**self.kafka_kwargs)
+        from kafka import KafkaProducer  # pragma: no cover
+        return KafkaProducer(**self.kafka_kwargs)  # pragma: no cover
+
+    def _consumer(self):
+        if self._consumer_factory is not None:
+            return self._consumer_factory(**self.kafka_kwargs)
+        from kafka import KafkaConsumer  # pragma: no cover
+        return KafkaConsumer(**self.kafka_kwargs)  # pragma: no cover
+
+    @staticmethod
+    def _tp(topic):
+        try:
+            from kafka import TopicPartition
+        except ImportError:
+            return (topic, 0)  # fake clients accept the plain tuple
+        return TopicPartition(topic, 0)  # pragma: no cover
+
+    def save_state(self, state: bytes) -> None:
+        producer = self._producer()
         producer.send(self.topic, state)
         producer.flush()
 
-    def load_state(self) -> Optional[bytes]:  # pragma: no cover
-        from kafka import KafkaConsumer, TopicPartition
-        consumer = KafkaConsumer(**self.kafka_kwargs)
-        tp = TopicPartition(self.topic, 0)
+    def load_state(self) -> Optional[bytes]:
+        consumer = self._consumer()
+        tp = self._tp(self.topic)
         consumer.assign([tp])
         end = consumer.end_offsets([tp])[tp]
         if end == 0:
@@ -97,23 +124,32 @@ class KafkaBackend(StateBackend):
 
 class RedisBackend(StateBackend):
     """One SET/GET key (reference drain3/redis_persistence.py:10-34).
-    Requires ``redis`` (absent in this sandbox)."""
 
-    def __init__(self, key: str, **redis_kwargs) -> None:
-        try:
-            import redis  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise ImportError("RedisBackend requires redis") from e
+    ``client`` is injectable for broker-less testing; the default
+    requires ``redis`` (absent in this sandbox)."""
+
+    def __init__(self, key: str, client=None, **redis_kwargs) -> None:
+        if client is None:
+            try:
+                import redis  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise ImportError("RedisBackend requires redis "
+                                  "(or an injected client)") from e
         self.key = key
         self.redis_kwargs = redis_kwargs
+        self._client = client
 
-    def save_state(self, state: bytes) -> None:  # pragma: no cover
-        import redis
-        redis.Redis(**self.redis_kwargs).set(self.key, state)
+    def _redis(self):
+        if self._client is not None:
+            return self._client
+        import redis  # pragma: no cover
+        return redis.Redis(**self.redis_kwargs)  # pragma: no cover
 
-    def load_state(self) -> Optional[bytes]:  # pragma: no cover
-        import redis
-        return redis.Redis(**self.redis_kwargs).get(self.key)
+    def save_state(self, state: bytes) -> None:
+        self._redis().set(self.key, state)
+
+    def load_state(self) -> Optional[bytes]:
+        return self._redis().get(self.key)
 
 
 def snapshot_blob(cluster_rows, counter: int, compress: bool = True) -> bytes:

@@ -166,3 +166,17 @@ def test_jaccard_df_cap_bounds_hot_shingles(spark):
     uncapped = {(r.id_a, r.id_b): r.jaccard
                 for r in dedup.jaccard_pairs(df, k=3, threshold=0.5).collect()}
     assert j <= 1.0 and (100, 101) in uncapped
+
+
+def test_near_dup_blas_path_matches_catalyst(spark, emb):
+    """The BLAS per-block Gram-matrix path must find the same pairs as
+    the expression self-join, with cosines equal to float tolerance."""
+    cat = {(r.id_a, r.id_b): r.cosine for r in
+           similarity.cosine_near_dup_pairs(emb, threshold=0.35).collect()}
+    blas = {(r.id_a, r.id_b): r.cosine for r in
+            similarity.cosine_near_dup_pairs(emb, threshold=0.35,
+                                             method="blas").collect()}
+    assert set(cat) == set(blas)
+    assert cat, "threshold should admit at least one pair"
+    for k in cat:
+        assert abs(cat[k] - blas[k]) <= 1e-6, (k, cat[k], blas[k])
