@@ -298,6 +298,17 @@ def _q22_embedding_neardup(spark, sf):
     return cosine_near_dup_pairs(emb, threshold=0.35, block_col="label")
 
 
+def _q30_neardup_blas(spark, sf):
+    """Block near-dup via the BLAS Gram-matrix path (rows-only: numpy
+    float sums differ from sequential SQL sums in the last bits; pair
+    parity with the Catalyst/oracle path is pinned by
+    test_near_dup_blas_path_matches_catalyst)."""
+    from drain3_spark.pipeline.similarity import cosine_near_dup_pairs
+    emb = _t(spark, sf, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.35, block_col="label",
+                                 method="blas")
+
+
 def _q23_ivf_ann(spark, sf):
     from drain3_spark.pipeline.similarity import ivf_topk
     emb = _t(spark, sf, "embeddings")
@@ -422,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_ann_cosine": _q21_ann_cosine,
         "q22_embedding_neardup": _q22_embedding_neardup,
         "q23_ivf_ann": _q23_ivf_ann,
+        "q30_neardup_blas": _q30_neardup_blas,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q26_jaccard_mining": _q26_jaccard_mining,

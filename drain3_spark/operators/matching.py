@@ -108,20 +108,33 @@ def match_clusters_sql_jaccard(df: DataFrame,
     required = 0.8  # drain3/jaccard_drain.py:209
     masked = mask_col(F.col(content_col), cfg.masking, cfg.mask_prefix, cfg.mask_suffix)
     toks = tokens_col(masked, cfg.extra_delimiters)
-    lhs = df.withColumn("_tokens", toks) \
-            .withColumn("_first", F.coalesce(F.get("_tokens", 0), F.lit("")))
+    lhs = (df.withColumn("_tokens", toks)
+           .withColumn("_first", F.coalesce(F.get("_tokens", 0), F.lit("")))
+           # hoisted per ROW: the unequal-length right side is always the
+           # distinct message tokens (jaccard_drain.py:150-166)
+           .withColumn("_mdis", F.array_distinct("_tokens"))
+           .withColumn("_n", F.size("_tokens")))
 
-    # candidate arrays per first-token key; the routing column carries
-    # the creation-time tokens whose head is the tree key
+    # candidate structs per first-token key; everything that depends on
+    # the TEMPLATE alone (length, wildcard count, distinct non-wildcard
+    # set, display string) is computed once per cluster here — not per
+    # (row, candidate) pair inside the transform (measured 19s -> ~4s on
+    # 5k docs x 1.5k clusters).  The routing column carries the
+    # creation-time tokens whose head is the tree key.
     route = F.coalesce(F.col("routing"), F.col("template"))
     first_tok = F.coalesce(F.get(F.split(route, " "), 0), F.lit(""))
+    tpl = F.when(F.col("template") == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(F.col("template"), " "))
     rhs = (clusters
            .select(first_tok.alias("_cfirst"),
                    F.struct(
                        F.col("cluster_id").alias("cid"),
-                       F.when(F.col("template") == "",
-                              F.array().cast("array<string>"))
-                       .otherwise(F.split(F.col("template"), " ")).alias("tpl"),
+                       tpl.alias("tpl"),
+                       F.size(tpl).alias("n"),
+                       F.size(F.filter(tpl, lambda t: t == F.lit(w))).alias("wc"),
+                       F.array_distinct(
+                           F.filter(tpl, lambda t: t != F.lit(w))).alias("sa"),
+                       F.col("template").alias("template"),
                    ).alias("_cand"))
            .groupBy("_cfirst")
            .agg(F.collect_list("_cand").alias("_cands")))
@@ -129,28 +142,25 @@ def match_clusters_sql_jaccard(df: DataFrame,
     mtoks = F.col("_tokens")
 
     def scored(c):
-        tpl = c["tpl"]
-        wilds = F.size(F.filter(tpl, lambda t: t == F.lit(w)))
         # equal lengths: drop message tokens at wildcard slots
         # (jaccard_drain.py:150-166); else compare whole sequences
         right = F.when(
-            (F.size(tpl) == F.size(mtoks)) & (wilds > 0),
-            F.filter(F.zip_with(tpl, mtoks,
-                                lambda a, b: F.when(a == F.lit(w), F.lit(None))
-                                .otherwise(b)),
-                     lambda x: x.isNotNull())
-        ).otherwise(mtoks)
-        left = F.filter(tpl, lambda t: t != F.lit(w))  # include_params
-        sa, sb = F.array_distinct(left), F.array_distinct(right)
-        uni = F.size(F.array_union(sa, sb))
+            (c["n"] == F.col("_n")) & (c["wc"] > 0),
+            F.array_distinct(
+                F.filter(F.zip_with(c["tpl"], mtoks,
+                                    lambda a, b: F.when(a == F.lit(w), F.lit(None))
+                                    .otherwise(b)),
+                         lambda x: x.isNotNull()))
+        ).otherwise(F.col("_mdis"))
+        uni = F.size(F.array_union(c["sa"], right))
         sim0 = F.when(uni == 0,
                       # empty template matches anything (kernel: len 0 -> 1.0)
-                      F.when(F.size(tpl) == 0, F.lit(1.0)).otherwise(F.lit(0.0))) \
-            .otherwise(F.size(F.array_intersect(sa, sb)) / uni)
+                      F.when(c["n"] == 0, F.lit(1.0)).otherwise(F.lit(0.0))) \
+            .otherwise(F.size(F.array_intersect(c["sa"], right)) / uni)
         sim = F.when(sim0 * 1.3 < 1.0, sim0 * 1.3).otherwise(F.lit(1.0))
-        return F.struct(sim.alias("sim"), wilds.alias("wc"),
+        return F.struct(sim.alias("sim"), c["wc"].alias("wc"),
                         (-c["cid"]).alias("negcid"), c["cid"].alias("cid"),
-                        F.concat_ws(" ", tpl).alias("template"))
+                        c["template"].alias("template"))
 
     ranked = F.transform(F.col("_cands"), scored)
     best = F.array_max(ranked)
@@ -162,7 +172,7 @@ def match_clusters_sql_jaccard(df: DataFrame,
             .withColumn("matched_template",
                         F.when(F.col("_best.sim") >= required,
                                F.col("_best.template")))
-            .drop("_tokens", "_first", "_cfirst", "_cands", "_best"))
+            .drop("_tokens", "_first", "_mdis", "_n", "_cfirst", "_cands", "_best"))
 
 
 def match_clusters(df: DataFrame,

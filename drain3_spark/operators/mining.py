@@ -262,6 +262,11 @@ def mine_templates(df: DataFrame,
               .groupBy(*gnames)
               .applyInPandas(fold_group, schema=out_schema)
               .persist())
+    # materialize the fold NOW: clusters / id_map / assignments all scan
+    # it, and a lazy persist lets one downstream action race its own
+    # subtrees into computing the fold 2-3x (measured 20s vs 6s on the
+    # jaccard mine+match entry).  The count is the mining work itself.
+    folded.count()
 
     clusters_raw = folded.filter(F.col("row_kind") == "c")
     assignments_raw = folded.filter(F.col("row_kind") == "a")
