@@ -123,7 +123,7 @@ def main() -> None:
     clips_per_sec = round(n_clips / validate_sec, 1)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_operator_suite_plus_clip_validation",
         "value": total,
         "unit": "sec",
@@ -134,7 +134,15 @@ def main() -> None:
         "violations_found": n_viol,
         "clusters_mined": n_clusters,
         "cpus": cpus,
-    }))
+    }
+    # two-cluster-size scaling evidence (north_rule): embed the latest
+    # recorded protocol run (tools/bench_scaling.py; details BASELINE.md)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
