@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from drain3_spark.config import EngineConfig
 from drain3_spark.operators.mining import mine_templates
 from drain3_spark.state.store import CheckpointStore
+from drain3_spark.util import local_df
 from drain3_spark.validation.runner import (ValidationConfig, ValidationEngine,
                                             ValidationReport)
 
@@ -106,7 +107,7 @@ def run_incremental(spark: SparkSession,
             # per-partition lineage with stage wall times (SURVEY.md C12;
             # reference profiler analog drain3/simple_profiler.py:101-119)
             total_sec = _time.monotonic() - t_batch
-            lineage = spark.createDataFrame(
+            lineage = local_df(spark,
                 [(ds, idx, n_assign, len(rows), new_clusters,
                   int(report.violations.count()) if report is not None else None,
                   round(mine_sec, 3),
@@ -164,6 +165,6 @@ def run_incremental(spark: SparkSession,
                                    f"stat={rec['statistic']:.6f} "
                                    f"thr={rec['threshold']:.6f} "
                                    f"baseline={rec['baseline_ds']}"))
-            spark.createDataFrame(drift_rows, PARTITION_REPORT_SCHEMA) \
+            local_df(spark, drift_rows, PARTITION_REPORT_SCHEMA) \
                 .write.mode("overwrite").parquet(f"{out_dir}/drift_report_corpus")
     return results

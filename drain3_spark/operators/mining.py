@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 from drain3_spark.config import EngineConfig
 from drain3_spark.core.kernel import ClusterRec, TemplateBank
 from drain3_spark.operators.masking import mask_col
+from drain3_spark.util import local_df
 from drain3_spark.operators.tokenize import group_key_cols, tokens_col
 
 KEY_SEP = "\x1f"
@@ -287,7 +288,7 @@ def mine_templates(df: DataFrame,
     # unchanged (they never reached a fold task)
     untouched = None
     if prior_rows:
-        prior_df = spark.createDataFrame(prior_rows, schema=CLUSTER_SCHEMA)
+        prior_df = local_df(spark, prior_rows, CLUSTER_SCHEMA)
         touched_groups = clusters_raw.select("group_key").distinct()
         untouched = prior_df.join(F.broadcast(touched_groups), "group_key", "left_anti") \
             .select(*[f.name for f in CLUSTER_SCHEMA.fields])
@@ -450,8 +451,8 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
     if cfg.max_clusters is not None:
         cluster_rows.sort(key=lambda r: (r[6] or "", r[0]), reverse=True)
         cluster_rows = cluster_rows[:cfg.max_clusters]
-    clusters_df = spark.createDataFrame(cluster_rows, schema=CLUSTER_SCHEMA)
-    id_map = spark.createDataFrame(
-        [(ref, fid(target)) for ref, target in ref_map.items()],
-        "cluster_ref string, cluster_id long")
+    clusters_df = local_df(spark, cluster_rows, CLUSTER_SCHEMA)
+    id_map = local_df(spark,
+                      [(ref, fid(target)) for ref, target in ref_map.items()],
+                      "cluster_ref string, cluster_id long")
     return clusters_df, id_map, len(merged_new)

@@ -102,7 +102,8 @@ def make_batch_processor(store: CheckpointStore,
         if not mem["dirty"] or mem["rows"] is None:
             return
         from drain3_spark.operators.mining import CLUSTER_SCHEMA
-        clusters = spark.createDataFrame(mem["rows"], CLUSTER_SCHEMA)
+        from drain3_spark.util import local_df
+        clusters = local_df(spark, mem["rows"], CLUSTER_SCHEMA)
         next_id = (mem["hw"] + 1) if mem["hw"] is not None else 0
         store.commit(next_id, clusters, mem["counter"], batch_key="stream-flush")
         mem["hw"], mem["dirty"] = next_id, False

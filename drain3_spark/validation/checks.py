@@ -173,7 +173,8 @@ def schema_violations(clips: DataFrame, expected: T.StructType) -> DataFrame:
     for name in actual:
         if name not in {f.name for f in expected.fields}:
             problems.append((None, None, "schema", f"unexpected column {name}"))
-    return spark.createDataFrame(problems, VIOLATION_SCHEMA)
+    from drain3_spark.util import local_df
+    return local_df(spark, problems, VIOLATION_SCHEMA)
 
 
 def column_stats(clips: DataFrame) -> DataFrame:

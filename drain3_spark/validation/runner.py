@@ -33,6 +33,7 @@ from drain3_spark.fixtures import VIOLATION_SCHEMA
 from drain3_spark.validation import checks as C
 from drain3_spark.validation.audio import audio_violations
 from drain3_spark.validation.drift import chisq_drift, ks_drift
+from drain3_spark.util import local_df
 
 PARTITION_REPORT_SCHEMA = T.StructType([
     T.StructField("ds", T.StringType()),
@@ -128,7 +129,7 @@ class ValidationEngine:
                                C.schema_violations(clips, cfg.expected_schema).collect()]
             if schema_rows:
                 violations = violations.unionByName(
-                    spark.createDataFrame(schema_rows, VIOLATION_SCHEMA))
+                    local_df(spark, schema_rows, VIOLATION_SCHEMA))
         violations = violations.persist()
 
         # ONE aggregation pass feeds rows_scanned AND all three drift
@@ -147,8 +148,13 @@ class ValidationEngine:
             per_ds_counts: dict = {}
             for r in hist_rows:
                 per_ds_counts[r["ds"]] = per_ds_counts.get(r["ds"], 0) + int(r["n"])
-            rows_per_ds = spark.createDataFrame(
-                sorted(per_ds_counts.items()), "ds string, rows_scanned long")
+            # local_df (Arrow-backed): a list-based createDataFrame here
+            # is python-RDD-backed and the cross join below re-evaluates
+            # it through python workers on EVERY downstream action —
+            # measured ~9s per report action for a 7x7-row product at
+            # local[32]; the Arrow local relation costs ~0.2s
+            rows_per_ds = local_df(spark, sorted(per_ds_counts.items()),
+                                   "ds string, rows_scanned long")
         else:
             rows_per_ds = clips.groupBy("ds").agg(
                 F.count(F.lit(1)).alias("rows_scanned"))
@@ -166,8 +172,8 @@ class ValidationEngine:
             check_names += [CHECK_REF_MISSING, CHECK_TRANSCRIPT_EQ]
         if cfg.with_audio:
             check_names.append(CHECK_AUDIO_DECODE)
-        all_checks = spark.createDataFrame(
-            [(c,) for c in sorted(check_names)], "check string")
+        all_checks = local_df(spark, [(c,) for c in sorted(check_names)],
+                              "check string")
         grid = rows_per_ds.crossJoin(all_checks)
         report = (grid.join(per_check, ["ds", "check"], "left")
                   .withColumn("violation_count",
@@ -217,17 +223,18 @@ class ValidationEngine:
                 for col in ("dur_ms", "codec", "sr_hz"):
                     key = (r["ds"], col, str(r[col]))
                     hist_out[key] = hist_out.get(key, 0) + int(r["n"])
-            histograms = spark.createDataFrame(
+            histograms = local_df(
+                spark,
                 [(ds, col, val, n) for (ds, col, val), n in sorted(hist_out.items())],
                 "ds string, column string, value string, n long")
             if profiler is not None:
                 profiler.end_section("drift_stats")
         if drift_rows:
             report = report.unionByName(
-                spark.createDataFrame(drift_rows, PARTITION_REPORT_SCHEMA))
+                local_df(spark, drift_rows, PARTITION_REPORT_SCHEMA))
         if schema_rows is not None and cfg.expected_schema is not None:
             # table-level schema verdict (C1): one row, ds='__table__'
-            report = report.unionByName(spark.createDataFrame(
+            report = report.unionByName(local_df(spark,
                 [("__table__", "schema", len(schema_rows) == 0,
                   len(schema_rows), None,
                   "; ".join(r[3] for r in schema_rows) or None)],
