@@ -132,3 +132,18 @@ def test_sr_drift_histograms_and_schema_wired(spark, dirty_tables):
     assert len(srow2) == 1 and not srow2[0].passed
     assert rep2.violations.filter(F.col("check") == "schema").count() == 1
     rep2.violations.unpersist()
+
+
+def test_report_plan_has_no_python_rdd_scans(spark):
+    """Driver-created report tables must plan as Arrow local relations
+    (LocalTableScan), never as python-RDD scans: an ExistingRDD in this
+    plan is re-evaluated through python workers on EVERY report action
+    (measured ~9s per count for a 7x7 cross join at local[32])."""
+    clips = FX.gen_clips(spark, 60, dirty=True, dur_lo=200, dur_hi=400)
+    rep = ValidationEngine(ValidationConfig(with_audio=False)).validate(clips)
+    rep.violations.count()
+    for df in (rep.partition_report, rep.metrics, rep.histograms):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" not in plan and "PythonRDD" not in plan, plan[:500]
+        assert "LocalTableScan" in plan
+    rep.violations.unpersist()
