@@ -18,11 +18,20 @@ Hashes are md5-based so the DuckDB oracle reproduces them bit-exactly.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Union
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from drain3_spark.pipeline.text import fingerprint_md5, normalize_text
+
+#: Default document-frequency cap for :func:`jaccard_pairs`.  The cap must
+#: be O(1) in corpus size — posting lists are materialized arrays and each
+#: shingle contributes up to cap² candidate structs — so it cannot grow
+#: with N (a sqrt(N) cap would collect million-id arrays at 10^12 docs).
+#: 256 bounds any one shingle to ≤32k pairs while keeping recall: near-dup
+#: pairs share many *rare* shingles, and a shingle appearing in >256
+#: documents carries no near-dup signal (standard DF-filter argument).
+DEFAULT_DF_CAP = 256
 
 
 # --------------------------------------------------------------------- exact
@@ -59,28 +68,33 @@ def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   k: int = 3, threshold: float = 0.7,
                   block_col: Optional[str] = None,
-                  df_cap: Optional[int] = None) -> DataFrame:
+                  df_cap: Union[int, None, str] = "auto") -> DataFrame:
     """Near-duplicate pairs by k-gram Jaccard >= threshold.
 
-    explode → self-join on shingle (within ``block_col`` if given) →
-    per-pair common count; |A∪B| from per-doc distinct counts.  Returns
-    (id_a, id_b, jaccard) with id_a < id_b.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    ``df_cap`` is the scale guard: a shingle shared by s documents
-    contributes s² join rows, so stopword-like k-grams make the
-    self-join quadratic on a large corpus.  With ``df_cap`` set the
-    operator switches to an INVERTED-INDEX formulation: one aggregation
-    builds per-shingle posting lists (within the block if given),
-    shingles whose document frequency exceeds the cap are dropped by a
-    free ``size(ids) <= cap`` filter, and candidate pairs explode from
-    the bounded lists (≤ cap² structs per shingle, no self-join at
-    all).  Jaccard is computed over the capped shingle universe — the
-    standard document-frequency filter: near-duplicate pairs share many
-    *rare* shingles, so recall is preserved.  With ``block_col`` the
-    frequency is per (block, shingle).  Corpora where even capped
-    traffic is too hot should route through
-    :func:`minhash_lsh_duplicates` instead.
+    ``df_cap`` is the scale guard, ON BY DEFAULT (``"auto"`` resolves to
+    :data:`DEFAULT_DF_CAP`): a shingle shared by s documents contributes
+    s² join rows, so stopword-like k-grams make a naive shingle
+    self-join quadratic on a large corpus.  The capped operator uses an
+    INVERTED-INDEX formulation: one aggregation builds per-shingle
+    posting lists (within ``block_col`` if given), shingles whose
+    document frequency exceeds the cap are dropped by a free
+    ``size(ids) <= cap`` filter, and candidate pairs explode from the
+    bounded lists (≤ cap² structs per shingle, no self-join at all).
+    Jaccard is computed over the capped shingle universe — the standard
+    document-frequency filter: near-duplicate pairs share many *rare*
+    shingles, so recall is preserved.  With ``block_col`` the frequency
+    is per (block, shingle).  Corpora where even capped traffic is too
+    hot should route through :func:`minhash_lsh_duplicates` instead.
+
+    ``df_cap=None`` is the explicit escape hatch to the exact all-pairs
+    self-join (explode → self-join on shingle → per-pair common count;
+    |A∪B| from per-doc distinct counts).  That plan is quadratic in the
+    hottest shingle's document frequency — never the default.
     """
+    if df_cap == "auto":
+        df_cap = DEFAULT_DF_CAP
     sh = shingle_rows(df, id_col, text_col, k)
     if block_col:
         blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("_blk"))
@@ -187,11 +201,43 @@ def minhash_lsh_duplicates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 3,
                            num_hashes: int = 16, bands: int = 4,
                            threshold: float = 0.7) -> DataFrame:
-    """LSH candidates verified by true Jaccard (two-stage: cheap bucket
-    join prunes the pair space, exact verify keeps precision)."""
+    """LSH candidates verified by exact Jaccard — two-stage: the cheap
+    band-bucket join prunes the pair space, then true Jaccard is
+    computed ONLY for candidate pairs.
+
+    The verify stage is candidate-bounded end to end: shingle rows are
+    semi-joined down to documents that appear in some candidate pair,
+    and the common-shingle count joins the candidate-pair table against
+    those shingles — every join is keyed on a candidate id, so the work
+    is O(candidate_pairs × shingles_per_doc), never all-pairs.  Jaccard
+    is exact (full per-document shingle universe, no DF cap), so the
+    result for any candidate pair is identical to what the uncapped
+    all-pairs formulation would produce.
+    """
     cand = lsh_candidate_pairs(df, id_col, text_col, k, num_hashes, bands)
-    true_pairs = jaccard_pairs(df, id_col, text_col, k, threshold=0.0)
-    return (cand.join(true_pairs, ["id_a", "id_b"])
+    sh = shingle_rows(df, id_col, text_col, k)
+
+    cand_ids = (cand.select(F.col("id_a").alias("id"))
+                .unionByName(cand.select(F.col("id_b").alias("id")))
+                .distinct())
+    sh_c = sh.join(cand_ids, "id", "left_semi")
+
+    sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (cand
+              .join(sh_c.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+              .join(sh_c.select(F.col("id").alias("id_b"), "shingle"),
+                    ["id_b", "shingle"])
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (common
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("n_sh").alias("n_b")), "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("n_common")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 

@@ -164,8 +164,59 @@ def test_jaccard_df_cap_bounds_hot_shingles(spark):
     # with it, the common gram is gone so jaccard reflects rare grams only
     j = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}[(100, 101)]
     uncapped = {(r.id_a, r.id_b): r.jaccard
-                for r in dedup.jaccard_pairs(df, k=3, threshold=0.5).collect()}
+                for r in dedup.jaccard_pairs(df, k=3, threshold=0.5,
+                                             df_cap=None).collect()}
     assert j <= 1.0 and (100, 101) in uncapped
+
+
+def test_jaccard_default_is_capped_no_self_join(spark):
+    """The signature default must take the inverted-index path: no join
+    keyed on the shingle column anywhere in the physical plan, and the
+    results must equal an explicit DEFAULT_DF_CAP call."""
+    rows = [(i, f"alpha beta gamma doc{i} tail{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.jaccard_pairs(df, k=3, threshold=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "shingle" in ln]
+    assert not join_lines, join_lines
+    explicit = dedup.jaccard_pairs(df, k=3, threshold=0.1,
+                                   df_cap=dedup.DEFAULT_DF_CAP)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, explicit.collect()))
+
+
+def test_lsh_verify_is_candidate_bounded(spark):
+    """Pathological corpus: every document shares a hot shingle but the
+    docs are otherwise unique, so an all-pairs verify would compute
+    n²/2 Jaccards.  The candidate-bounded verify must (a) still find
+    the true near-dup pair, (b) show every verify join keyed on a
+    candidate id — never a raw shingle-only self-join — and (c) agree
+    with the old formulation (candidates ∩ full exact Jaccard)."""
+    common = "the quick brown"
+    rows = [(i, f"{common} u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(300)]
+    rows += [(9100, f"{common} alpha beta gamma delta epsilon zeta"),
+             (9101, f"{common} alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = dedup.minhash_lsh_duplicates(df, threshold=0.3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert (9100, 9101) in got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Join" in ln and "shingle" in ln:
+            # any join touching shingle must also be keyed on a doc id
+            assert "id_a" in ln or "id_b" in ln or "id#" in ln or "id_" in ln, ln
+
+    # old formulation on the same corpus (kept cheap by df_cap here,
+    # exact on this corpus since no shingle exceeds the cap)
+    cand = dedup.lsh_candidate_pairs(df)
+    true_pairs = dedup.jaccard_pairs(df, threshold=0.0, df_cap=400)
+    old = {(r.id_a, r.id_b): r.jaccard
+           for r in cand.join(true_pairs, ["id_a", "id_b"])
+           .filter(F.col("jaccard") >= 0.3).collect()}
+    assert got == old
 
 
 def test_near_dup_blas_path_matches_catalyst(spark, emb):
