@@ -1,0 +1,146 @@
+"""Differential oracle: run the ACTUAL reference implementation
+(/root/reference, imported read-only via tests/ref_compat shims) over the
+full sf0.001 documents corpus and assert the engine's mining, cluster
+table, and match inference agree ROW-FOR-ROW.
+
+This upgrades the mining family (q6/q7/q26/q29 surfaces) from
+golden-corpus-pinned to full-corpus-verified: the oracle is the
+reference itself, not hand-copied expectations.
+
+Order contract: the reference consumes a single sequential stream; the
+engine mines with order_cols=(ds, clip_id).  Feeding the reference in
+(source, doc_id) order — identical to the engine's (ds, clip_id) sort,
+clip_id being zero-padded doc_id — makes the two streams comparable.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from drain3_spark.config import EngineConfig
+from drain3_spark.operators.matching import (match_clusters,
+                                             match_clusters_sql,
+                                             match_clusters_sql_jaccard)
+from drain3_spark.operators.mining import mine_templates
+
+from tests.ref_compat import install_reference_shims
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/root/reference/drain3/drain.py"),
+    reason="reference repo not present")
+
+
+def _corpus():
+    rows = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text", "source"]).to_pylist()
+    rows.sort(key=lambda r: (r["source"], r["doc_id"]))
+    return rows
+
+
+def _clips(spark, rows):
+    return spark.createDataFrame(
+        [(r["source"], "doc-%012d" % r["doc_id"], r["text"]) for r in rows],
+        "ds string, clip_id string, transcript string")
+
+
+def _reference_miner():
+    install_reference_shims()
+    from drain3.template_miner import TemplateMiner
+    from drain3.template_miner_config import TemplateMinerConfig
+    return TemplateMiner(config=TemplateMinerConfig())
+
+
+@pytest.fixture(scope="module")
+def mined(spark):
+    """Reference miner + engine mining over the same corpus, once."""
+    rows = _corpus()
+    tm = _reference_miner()
+    ref = [tm.add_log_message(r["text"]) for r in rows]
+    cfg = EngineConfig(mining_mode="exact", mining_salt=1)
+    clips = _clips(spark, rows)
+    res = mine_templates(clips, cfg)
+    yield rows, tm, ref, cfg, clips, res
+    res.unpersist()
+
+
+def test_differential_drain_mining(mined):
+    rows, tm, ref, cfg, clips, res = mined
+    got = res.assignments.orderBy("ds", "clip_id").collect()
+    assert len(got) == len(ref) == len(rows)
+    for i, (g, r) in enumerate(zip(got, ref)):
+        assert g.template_mined == r["template_mined"], i
+        assert g.cluster_id == r["cluster_id"], i
+        assert g.change_type == r["change_type"], i
+
+    ref_clusters = {c.cluster_id: c for c in tm.drain.clusters}
+    eng = {r.cluster_id: r for r in res.clusters.collect()}
+    assert set(eng) == set(ref_clusters)
+    for cid, c in ref_clusters.items():
+        assert eng[cid].template == c.get_template(), cid
+        assert eng[cid].size == c.size, cid
+
+
+@pytest.mark.parametrize("strategy", ["never", "fallback", "always"])
+def test_differential_match_kernel(mined, strategy):
+    rows, tm, ref, cfg, clips, res = mined
+    ref_ids = []
+    for r in rows:
+        m = tm.match(r["text"], full_search_strategy=strategy)
+        ref_ids.append(m.cluster_id if m is not None else None)
+    cluster_rows = [tuple(r) for r in res.clusters.collect()]
+    out = (match_clusters(clips, cluster_rows, cfg, strategy=strategy)
+           .orderBy("ds", "clip_id").collect())
+    assert [o.matched_cluster_id for o in out] == ref_ids
+
+
+def test_differential_match_sql_always(mined):
+    rows, tm, ref, cfg, clips, res = mined
+    ref_ids = []
+    for r in rows:
+        m = tm.match(r["text"], full_search_strategy="always")
+        ref_ids.append(m.cluster_id if m is not None else None)
+    out = (match_clusters_sql(clips, res.clusters, cfg)
+           .orderBy("ds", "clip_id").collect())
+    assert [o.matched_cluster_id for o in out] == ref_ids
+
+
+def test_differential_jaccard_mining(spark):
+    rows = _corpus()
+    install_reference_shims()
+    from drain3.jaccard_drain import JaccardDrain
+    jd = JaccardDrain(depth=4, sim_th=0.4, max_children=100,
+                      parametrize_numeric_tokens=True)
+    ref = []
+    for r in rows:
+        cluster, change = jd.add_log_message(r["text"])
+        ref.append((cluster.cluster_id, cluster.get_template(), change))
+
+    cfg = EngineConfig(engine="jaccard", mining_salt=1)
+    clips = _clips(spark, rows)
+    res = mine_templates(clips, cfg)
+    got = res.assignments.orderBy("ds", "clip_id").collect()
+    assert len(got) == len(ref)
+    for i, (g, (cid, tpl, change)) in enumerate(zip(got, ref)):
+        assert g.cluster_id == cid, i
+        assert g.template_mined == tpl, i
+        assert g.change_type == change, i
+
+    ref_clusters = {c.cluster_id: c for c in jd.clusters}
+    eng = {r.cluster_id: r for r in res.clusters.collect()}
+    assert set(eng) == set(ref_clusters)
+    for cid, c in ref_clusters.items():
+        assert eng[cid].template == c.get_template(), cid
+        assert eng[cid].size == c.size, cid
+
+    # the jaccard SQL bulk-inference path against the reference's match
+    ref_match = []
+    for r in rows:
+        m = jd.match(r["text"], full_search_strategy="always")
+        ref_match.append(m.cluster_id if m is not None else None)
+    out = (match_clusters_sql_jaccard(clips, res.clusters, cfg)
+           .orderBy("ds", "clip_id").collect())
+    assert [o.matched_cluster_id for o in out] == ref_match
+    res.unpersist()
