@@ -8,15 +8,18 @@ state mutation; strategies ``never`` (tree descent only), ``fallback``
 
 Two implementations:
 
-* :func:`match_clusters_sql` — pure Catalyst broadcast join for the
-  ``always`` strategy: clips ⨝ broadcast(clusters) on token_count,
-  perfect-match filter via ``forall(zip_with(...))``, argmax selection
-  with ``max_by``.  Single narrow stage after one broadcast; this is the
-  scale path for bulk inference (SURVEY.md §3.2).
-* :func:`match_clusters` — kernel-backed Arrow pandas UDF supporting all
-  three strategies exactly (the tree's wildcard-fallback descent is not
-  expressible as an equi-join); the bank is built once per executor from
-  the broadcast state and cached.
+* :func:`match_clusters_sql` — pure Catalyst broadcast joins for ALL
+  three strategies: the bounded cluster table is rebuilt into a kernel
+  bank on the driver, flattened into scan/leaf/tree-level join tables,
+  and the fixed-depth descent (exact child first, wildcard fallback, no
+  backtracking) is unrolled into one tiny broadcast join per tree level
+  (exactly ONE for the default depth=4).  Perfect-match filter via
+  ``forall(zip_with(...))``, argmax selection with ``array_max`` over
+  (wildcard_count, -iteration_rank).  No shuffle of the big side in any
+  strategy; this is the scale path for bulk inference (SURVEY.md §3.2).
+* :func:`match_clusters` — kernel-backed Arrow pandas UDF, the exact
+  sequential semantics for row-at-a-time parity testing; the bank is
+  built once per executor from the broadcast state and cached.
 """
 
 from __future__ import annotations
@@ -32,60 +35,194 @@ from drain3_spark.operators.masking import mask_col
 from drain3_spark.operators.tokenize import tokens_col
 
 
-def match_clusters_sql(df: DataFrame,
-                       clusters: DataFrame,
-                       cfg: EngineConfig,
-                       content_col: str = "transcript") -> DataFrame:
-    """``always``-strategy bulk inference as one broadcast hash join.
+_CAND_SCHEMA = ("tc long, key array<string>, rank int, cid long, "
+                "template string")
 
-    Selection among perfect matches follows the reference's argmax on
-    (similarity, wildcard count) with deterministic tie-break
-    (drain3/drain.py:142-148); unmatched rows keep a null
-    ``matched_cluster_id`` (violation candidates, SURVEY.md C6).
+
+def _bank_from_clusters(clusters: DataFrame, cfg: EngineConfig):
+    """Driver-side kernel bank rebuilt from the (broadcast-small, bounded
+    by max_clusters) cluster table — the same rebuild the kernel UDF does
+    per worker, done once on the driver to derive join tables."""
+    from drain3_spark.core.kernel import TemplateBank
+    from drain3_spark.operators.mining import cluster_tuples_to_state
+    state = cluster_tuples_to_state([tuple(r) for r in clusters.collect()])
+    state.sort(key=lambda s: s[0])
+    return TemplateBank.from_state(
+        state, sim_th=cfg.sim_th, depth=cfg.depth,
+        max_children=cfg.max_children, max_clusters=None,
+        param_str=cfg.param_str,
+        parametrize_numeric_tokens=cfg.parametrize_numeric_tokens)
+
+
+def _tree_tables(bank):
+    """Flatten the bank's prefix tree into relational rows.
+
+    Returns (scan_rows, leaf_rows, parent_rows):
+
+    * scan_rows — (tc, [], rank, cid, template): every live cluster under
+      a token-count node in TREE-WALK order (drain3/drain.py:234-253) —
+      the ``always`` candidate order, so rank reproduces the kernel's
+      first-winner-on-ties iteration exactly (including post-merge banks
+      where id order ≠ walk order).
+    * leaf_rows — (tc, path, rank, cid, template): candidates at each
+      leaf in node-id order — the ``never`` candidate set.
+    * parent_rows — per descent level: (level, tc, parent_path,
+      children): the existing child tokens under each internal node,
+      driving the exact-child-first / wildcard-fallback walk
+      (drain3/drain.py:282-318) without backtracking.
     """
-    w = cfg.param_str
-    masked = mask_col(F.col(content_col), cfg.masking, cfg.mask_prefix, cfg.mask_suffix)
-    toks = tokens_col(masked, cfg.extra_delimiters)
-    lhs = df.withColumn("_tokens", toks).withColumn("_tc", F.size("_tokens"))
+    from drain3_spark.core.kernel import _CHILD, _IDS
+    scan_rows, leaf_rows, parent_rows = [], [], []
+    for tc, level1 in bank.root[_CHILD].items():
+        for rank, cid in enumerate(bank._ids_for_token_count(tc)):
+            rec = bank.registry.get(cid)
+            if rec is not None:
+                scan_rows.append((tc, [], rank, cid, rec.template))
+        stack = [(level1, [])]
+        while stack:
+            node, path = stack.pop()
+            live = [cid for cid in node[_IDS] if cid in bank.registry]
+            for rank, cid in enumerate(live):
+                leaf_rows.append((tc, path, rank, cid,
+                                  bank.registry[cid].template))
+            if node[_CHILD]:
+                parent_rows.append((len(path) + 1, tc, path,
+                                    list(node[_CHILD].keys())))
+                for tok, child in node[_CHILD].items():
+                    stack.append((child, path + [tok]))
+    return scan_rows, leaf_rows, parent_rows
 
-    # fold the (small) cluster table into one candidate array per token
-    # count, so inference is broadcast-join + array argmax: ZERO shuffle
-    # of the big side, nothing but the join key and tokens computed per row
-    rhs = (clusters
-           .select(F.col("token_count").alias("_ctc"),
-                   F.struct(
-                       F.col("cluster_id").alias("cid"),
-                       F.when(F.col("template") == "",
-                              F.array().cast("array<string>"))
-                       .otherwise(F.split(F.col("template"), " ")).alias("tpl"),
-                   ).alias("_cand"))
-           .groupBy("_ctc")
-           .agg(F.collect_list("_cand").alias("_cands")))
 
-    mtoks = F.col("_tokens")
+def _cands_rhs(spark, rows, key_col: str):
+    """(tc, key) -> rank-ordered candidate array, Arrow-local then
+    aggregated (tiny: bounded by the cluster table)."""
+    from drain3_spark.util import local_df
+    flat = local_df(spark, rows, _CAND_SCHEMA)
+    return (flat.groupBy(F.col("tc").alias(f"_{key_col}_tc"),
+                         F.col("key").alias(f"_{key_col}_key"))
+            .agg(F.array_sort(F.collect_list(F.struct(
+                "rank", "cid", "template"))).alias(f"_{key_col}_cands")))
+
+
+def _best_expr(cands_col, mtoks, w):
+    """Perfect-match argmax over a candidate array: highest wildcard
+    count wins, ties go to the EARLIEST candidate in kernel iteration
+    order (rank carries that order; reference drain3/drain.py:116-150
+    keeps the first winner)."""
+    tpl = lambda c: F.when(c["template"] == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(c["template"], " "))
 
     def perfect(c):
-        return F.forall(F.zip_with(c["tpl"], mtoks,
+        return F.forall(F.zip_with(tpl(c), mtoks,
                                    lambda a, b: (a == F.lit(w)) | (a == b)),
                         lambda x: x)
 
-    # argmax on (wildcard_count, -cid): reference keeps the highest
-    # param_count among perfect matches with a stable tie-break
-    # (drain3/drain.py:142-148)
     ranked = F.transform(
-        F.filter(F.col("_cands"), perfect),
+        F.filter(cands_col, perfect),
         lambda c: F.struct(
-            F.size(F.filter(c["tpl"], lambda t: t == F.lit(w))).alias("wc"),
-            (-c["cid"]).alias("negcid"),
+            F.size(F.filter(tpl(c), lambda t: t == F.lit(w))).alias("wc"),
+            (-c["rank"]).alias("negrank"),
             c["cid"].alias("cid"),
-            F.concat_ws(" ", c["tpl"]).alias("template")))
-    best = F.array_max(ranked)
+            c["template"].alias("template")))
+    return F.array_max(ranked)
 
-    return (lhs.join(F.broadcast(rhs), F.col("_tc") == F.col("_ctc"), "left")
-            .withColumn("_best", best)
+
+def match_clusters_sql(df: DataFrame,
+                       clusters: DataFrame,
+                       cfg: EngineConfig,
+                       content_col: str = "transcript",
+                       strategy: str = "always") -> DataFrame:
+    """Bulk inference for ALL three reference strategies as broadcast
+    joins — the scale path (SURVEY.md §3.2); unmatched rows keep a null
+    ``matched_cluster_id`` (violation candidates, SURVEY.md C6).
+
+    * ``always`` (drain3/drain.py:449-451): one broadcast join keyed on
+      token count; perfect-match argmax over the tree-walk-ordered
+      candidate array.
+    * ``never`` (drain3/drain.py:437-447): the fixed-depth tree descent
+      is join-unrolled — the tree is rebuilt once on the driver from the
+      bounded cluster table, its internal levels become (depth-3)+1 tiny
+      broadcast joins (ONE for the default depth=4): each level resolves
+      the child via exact-token-first / wildcard-fallback against the
+      node's child set, a miss nulls the path (no backtracking, exactly
+      the reference walk), and the final join maps (token_count, path)
+      to that leaf's candidates.
+    * ``fallback``: ``never`` result, else the ``always`` scan — the
+      scan argmax is guarded by a ``when`` so it only evaluates on
+      tree-miss rows.
+
+    ZERO shuffle of the big side in every strategy; selection reproduces
+    the kernel's first-winner-on-ties iteration order via driver-assigned
+    candidate ranks (verified row-for-row against the reference in
+    tests/test_reference_differential.py).
+    """
+    assert strategy in ("never", "fallback", "always")
+    spark = df.sparkSession
+    w = cfg.param_str
+    bank = _bank_from_clusters(clusters, cfg)
+    scan_rows, leaf_rows, parent_rows = _tree_tables(bank)
+
+    masked = mask_col(F.col(content_col), cfg.masking, cfg.mask_prefix, cfg.mask_suffix)
+    toks = tokens_col(masked, cfg.extra_delimiters)
+    lhs = df.withColumn("_tokens", toks).withColumn("_tc", F.size("_tokens"))
+    mtoks = F.col("_tokens")
+    drop_cols = ["_tokens", "_tc", "_best"]
+
+    best_scan = None
+    if strategy in ("always", "fallback"):
+        rhs = _cands_rhs(spark, scan_rows, "scan")
+        lhs = lhs.join(F.broadcast(rhs),
+                       F.col("_tc") == F.col("_scan_tc"), "left")
+        best_scan = _best_expr(F.col("_scan_cands"), mtoks, w)
+        drop_cols += ["_scan_tc", "_scan_key", "_scan_cands"]
+
+    best_tree = None
+    if strategy in ("never", "fallback"):
+        from drain3_spark.util import local_df
+        lhs = lhs.withColumn("_path", F.array().cast("array<string>"))
+        for level in range(1, bank.max_node_depth):
+            prows = [r[1:] for r in parent_rows if r[0] == level]
+            pdf = local_df(spark, prows,
+                           f"_p{level}_tc long, _p{level}_path array<string>, "
+                           f"_p{level}_children array<string>")
+            lhs = lhs.join(F.broadcast(pdf),
+                           (F.col("_tc") == F.col(f"_p{level}_tc"))
+                           & (F.col("_path") == F.col(f"_p{level}_path")),
+                           "left")
+            tok = F.get(mtoks, level - 1)
+            kids = F.col(f"_p{level}_children")
+            # level active only while the walk would consume a token
+            # (depth < max_node_depth enforced by the loop bound,
+            # depth < token_count checked per row; drain3/drain.py:288-292)
+            lhs = lhs.withColumn(
+                "_path",
+                F.when(F.lit(level) >= F.col("_tc"), F.col("_path"))
+                .when(F.array_contains(kids, tok), F.array_append("_path", tok))
+                .when(F.array_contains(kids, F.lit(w)),
+                      F.array_append("_path", F.lit(w)))
+                .otherwise(F.lit(None).cast("array<string>")))
+            drop_cols += [f"_p{level}_tc", f"_p{level}_path",
+                          f"_p{level}_children"]
+        leaf_rhs = _cands_rhs(spark, leaf_rows, "leaf")
+        lhs = lhs.join(F.broadcast(leaf_rhs),
+                       (F.col("_tc") == F.col("_leaf_tc"))
+                       & (F.col("_path") == F.col("_leaf_key")), "left")
+        best_tree = _best_expr(F.col("_leaf_cands"), mtoks, w)
+        drop_cols += ["_path", "_leaf_tc", "_leaf_key", "_leaf_cands"]
+
+    if strategy == "always":
+        best = best_scan
+    elif strategy == "never":
+        best = best_tree
+    else:
+        # Coalesce short-circuits per row in codegen: the scan argmax
+        # only evaluates on tree-miss rows
+        best = F.coalesce(best_tree, best_scan)
+
+    return (lhs.withColumn("_best", best)
             .withColumn("matched_cluster_id", F.col("_best.cid"))
             .withColumn("matched_template", F.col("_best.template"))
-            .drop("_tokens", "_tc", "_ctc", "_cands", "_best"))
+            .drop(*drop_cols))
 
 
 def match_clusters_sql_jaccard(df: DataFrame,

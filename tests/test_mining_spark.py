@@ -138,3 +138,52 @@ def test_unicode_whitespace_tokenize_parity(spark):
     got = [r[0] for r in df.select(tokens_col(F.col("transcript"))).collect()]
     want = [tokenize(m) for m in msgs]
     assert got == want
+
+
+def test_sql_match_all_strategies_equal_kernel_deep_tree(spark):
+    """SQL never/fallback must equal the kernel row-for-row on a DEEP
+    tree (depth=6 -> 3 join-unrolled descent levels), exercising numeric
+    wildcard routing, wildcard fallback at inner levels, tree misses,
+    and token counts absent from the bank."""
+    cfg = EngineConfig(depth=6, mining_salt=1)
+    train = []
+    for i in range(40):
+        train.append(f"svc{i % 4} node {i} connect ok port {i}")
+        train.append(f"svc{i % 4} node {i} drop err code {i} retry")
+    train += ["alpha beta gamma", "alpha beta delta", "one two",
+              # "job <*> start" lives under the wildcard child (numeric
+              # routing); "job go stop" creates an exact "go" child —
+              # probing "job go start" then descends into the exact
+              # child's leaf and must MISS under never (the perfect
+              # match sits in the wildcard leaf), but hit under
+              # fallback/always (drain3/drain.py:301-314 no-backtracking)
+              "job 5 start", "job 7 start", "job go stop"]
+    res = mine_templates(clips_df(spark, train), cfg)
+
+    probe = train + [
+        "svc0 node 99 connect ok port 12",      # numeric -> wildcard route
+        "svc9 node 1 connect ok port 2",        # unseen level-1 token
+        "alpha beta zeta", "alpha zeta gamma",  # inner-level miss/fallback
+        "one two three four five six seven",    # token count not in bank
+        "one three",
+        "job go start",                          # tree-gated perfect match
+    ]
+    pdf = clips_df(spark, probe, ds="2026-08-02")
+    cluster_rows = [tuple(r) for r in res.clusters.collect()]
+    for strategy in ("never", "fallback", "always"):
+        kern = (match_clusters(pdf, cluster_rows, cfg, strategy=strategy)
+                .orderBy("clip_id").collect())
+        sql = (match_clusters_sql(pdf, res.clusters, cfg, strategy=strategy)
+               .orderBy("clip_id").collect())
+        assert [r.matched_cluster_id for r in sql] == \
+            [r.matched_cluster_id for r in kern], strategy
+    # never differs from always somewhere on this corpus, or the test
+    # wouldn't prove the tree gate
+    never = [r.matched_cluster_id for r in
+             match_clusters_sql(pdf, res.clusters, cfg, strategy="never")
+             .orderBy("clip_id").collect()]
+    always = [r.matched_cluster_id for r in
+              match_clusters_sql(pdf, res.clusters, cfg, strategy="always")
+              .orderBy("clip_id").collect()]
+    assert never != always
+    res.unpersist()

@@ -96,13 +96,14 @@ def test_differential_match_kernel(mined, strategy):
     assert [o.matched_cluster_id for o in out] == ref_ids
 
 
-def test_differential_match_sql_always(mined):
+@pytest.mark.parametrize("strategy", ["never", "fallback", "always"])
+def test_differential_match_sql(mined, strategy):
     rows, tm, ref, cfg, clips, res = mined
     ref_ids = []
     for r in rows:
-        m = tm.match(r["text"], full_search_strategy="always")
+        m = tm.match(r["text"], full_search_strategy=strategy)
         ref_ids.append(m.cluster_id if m is not None else None)
-    out = (match_clusters_sql(clips, res.clusters, cfg)
+    out = (match_clusters_sql(clips, res.clusters, cfg, strategy=strategy)
            .orderBy("ds", "clip_id").collect())
     assert [o.matched_cluster_id for o in out] == ref_ids
 
