@@ -32,10 +32,13 @@ deterministic creation / recency order.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import logging
+from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+logger = logging.getLogger(__name__)
 
 from drain3_spark.config import EngineConfig
 from drain3_spark.core.kernel import ClusterRec, TemplateBank
@@ -90,7 +93,11 @@ class MiningResult:
     clusters: DataFrame      # CLUSTER_SCHEMA
     raw: DataFrame           # persisted UDF output (caller unpersists via .unpersist())
     prior_max: int = 0       # counter value the batch started from
-    _counter: Optional[int] = None   # eager in salted mode, lazy otherwise
+    _counter: Optional[int] = None
+    # post-merge NEW cluster refs (tiny, derived from a persisted frame);
+    # lazily counted for the monotonic counter
+    _new_refs: Optional[DataFrame] = None
+    _extra_persisted: List[DataFrame] = field(default_factory=list)
 
     def updated_counter(self) -> int:
         """True monotonic cluster counter after this batch: prior counter
@@ -99,15 +106,38 @@ class MiningResult:
         the LRU bound are never reused).  ``max(live ids)`` is wrong for
         exactly that reason."""
         if self._counter is None:
-            n_new = (self.raw
-                     .filter((F.col("row_kind") == "c")
-                             & F.col("cluster_ref").startswith("n:"))
-                     .select("cluster_ref").distinct().count())
+            if self._new_refs is not None:
+                n_new = self._new_refs.count()
+            else:
+                n_new = (self.raw
+                         .filter((F.col("row_kind") == "c")
+                                 & F.col("cluster_ref").startswith("n:"))
+                         .select("cluster_ref").distinct().count())
             self._counter = self.prior_max + n_new
         return self._counter
 
     def unpersist(self) -> None:
         self.raw.unpersist()
+        for df in self._extra_persisted:
+            df.unpersist()
+
+
+_GROUP_EST_CACHE: dict = {}
+
+
+def _estimate_groups(keyed: DataFrame, gnames: Sequence[str]) -> int:
+    """Bounded-prefix group-count estimate, memoized per logical plan."""
+    proj = keyed.select(*gnames)
+    try:
+        cache_key = proj.semanticHash()
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _GROUP_EST_CACHE:
+        return _GROUP_EST_CACHE[cache_key]
+    est = max(1, proj.limit(50000).distinct().count())
+    if cache_key is not None:
+        _GROUP_EST_CACHE[cache_key] = est
+    return est
 
 
 def _fold_schema(df: DataFrame, order_cols: Sequence[str]) -> T.StructType:
@@ -163,16 +193,29 @@ def mine_templates(df: DataFrame,
     # salt resolution: 0 = auto — make the post-shuffle mining stage's
     # task count track the cluster, not the corpus's group count (~6-13
     # distinct token counts on template corpora would otherwise cap it
-    # forever, regardless of cluster size).  The group count is estimated
-    # from a bounded prefix (one cheap job over <=50k rows: partitions
-    # are consumed in order, so the estimate is stable for stable input);
+    # forever, regardless of cluster size).
     # salt = ceil(2*parallelism / est_groups) so groups*salt ≈ 2x cores.
     # Corpora that already have many groups resolve to salt=1 and skip
-    # the merge pass entirely.
+    # the merge pass entirely.  The group-count estimate is:
+    #   1. distinct group keys in the PRIOR state when one exists —
+    #      deterministic and free (no job); incremental loops never pay
+    #      an estimate job after the first batch;
+    #   2. otherwise a bounded-prefix job (<=50k rows), memoized by the
+    #      projection's semantic hash so repeated mines over the same
+    #      input pay it once per session.  The prefix sample is
+    #      partition-layout dependent; the resolved salt is logged so a
+    #      semantics flip (salt 1 <-> >1 changes assignment-side
+    #      change_type/cluster_size to bank-local) is always visible.
+    #      The cluster table itself is salt-invariant.
     if cfg.mining_salt == 0:
-        est_groups = max(1, keyed.limit(50000).select(*gnames).distinct().count())
+        if prior_clusters:
+            est_groups = max(1, len({r[1] for r in prior_clusters}))
+        else:
+            est_groups = _estimate_groups(keyed, gnames)
         par = spark.sparkContext.defaultParallelism
         salt = max(1, min(par, -(-2 * par // est_groups)))
+        logger.info("mining auto-salt resolved: salt=%d (est_groups=%d, "
+                    "parallelism=%d)", salt, est_groups, par)
     else:
         salt = cfg.mining_salt
     salted = salt > 1
@@ -272,32 +315,49 @@ def mine_templates(df: DataFrame,
     clusters_raw = folded.filter(F.col("row_kind") == "c")
     assignments_raw = folded.filter(F.col("row_kind") == "a")
 
+    extra_persisted: List[DataFrame] = []
+    translate = None
     if salted:
-        clusters_df, id_map, n_new = _merge_salted_banks(
-            spark, cfg, clusters_raw, prior_rows, prior_max)
-        assignments = (assignments_raw
-                       .join(F.broadcast(id_map), "cluster_ref")
-                       .select(*order_cols, "cluster_id", "change_type",
-                               F.col("size").alias("cluster_size"),
-                               F.col("template").alias("template_mined")))
-        return MiningResult(assignments=assignments, clusters=clusters_df,
-                            raw=folded, prior_max=prior_max,
-                            _counter=prior_max + n_new)
+        # distributed two-phase reconciliation: per-group bank merge as a
+        # second tiny applyInPandas over the cluster rows ONLY (clusters
+        # ≪ rows; each group's merge is independent).  Nothing is
+        # collected to the driver — the former driver-side fold was
+        # bounded by clusters × salt, a multi-million-row single-threaded
+        # pass on a large cluster with max_clusters=10k.
+        merged = (clusters_raw
+                  .groupBy("group_key")
+                  .applyInPandas(_make_group_merger(cfg, bc_prior),
+                                 schema=MERGED_SCHEMA)
+                  .persist())
+        merged.count()   # materialize once; c/m splits below both scan it
+        extra_persisted.append(merged)
+        c_rows = (merged.filter(F.col("row_kind") == "c")
+                  .select("cluster_ref", "group_key", "token_count",
+                          "template", "size", "ckey", "updated_key",
+                          "routing"))
+        translate = (merged.filter(F.col("row_kind") == "m")
+                     .select(F.col("cluster_ref").alias("orig_ref"),
+                             "merged_ref"))
+    else:
+        c_rows = clusters_raw.select("cluster_ref", "group_key", "token_count",
+                                     "template", "size", "ckey",
+                                     "updated_key", "routing")
 
     # prior clusters whose group saw no rows this batch pass through
     # unchanged (they never reached a fold task)
     untouched = None
     if prior_rows:
         prior_df = local_df(spark, prior_rows, CLUSTER_SCHEMA)
-        touched_groups = clusters_raw.select("group_key").distinct()
+        touched_groups = c_rows.select("group_key").distinct()
         untouched = prior_df.join(F.broadcast(touched_groups), "group_key", "left_anti") \
             .select(*[f.name for f in CLUSTER_SCHEMA.fields])
 
     # deterministic global renumbering of new clusters: prior ids are kept,
     # new ids continue the counter in creation-key order
-    # (reference drain3/drain.py:201-202)
-    new = clusters_raw.filter(F.col("cluster_ref").startswith("n:"))
-    prior = clusters_raw.filter(F.col("cluster_ref").startswith("g:"))
+    # (reference drain3/drain.py:201-202).  The window is over the tiny
+    # cluster-row set, never the corpus.
+    new = c_rows.filter(F.col("cluster_ref").startswith("n:"))
+    prior = c_rows.filter(F.col("cluster_ref").startswith("g:"))
     w = Window.orderBy("ckey")
     new_ids = new.select(
         "cluster_ref",
@@ -307,7 +367,7 @@ def mine_templates(df: DataFrame,
         F.substring("cluster_ref", 3, 20).cast("long").alias("cluster_id"))
     id_map = new_ids.unionByName(prior_ids_df)
 
-    clusters = (clusters_raw
+    clusters = (c_rows
                 .join(F.broadcast(id_map), "cluster_ref")
                 .select("cluster_id", "group_key", "token_count", "template",
                         F.col("size").cast("long").alias("size"),
@@ -325,8 +385,20 @@ def mine_templates(df: DataFrame,
                     .filter(F.col("_r") <= cfg.max_clusters)
                     .drop("_r"))
 
+    # assignment rows carry ORIGINAL bank refs; in salted mode hop
+    # through the merge's ref translation first
+    if translate is not None:
+        assign_map = (translate
+                      .join(id_map.withColumnRenamed("cluster_ref",
+                                                     "merged_ref"),
+                            "merged_ref")
+                      .select(F.col("orig_ref").alias("cluster_ref"),
+                              "cluster_id"))
+    else:
+        assign_map = id_map
+
     assignments = (assignments_raw
-                   .join(F.broadcast(id_map), "cluster_ref")
+                   .join(F.broadcast(assign_map), "cluster_ref")
                    .select(*order_cols,
                            "cluster_id",
                            "change_type",
@@ -334,17 +406,33 @@ def mine_templates(df: DataFrame,
                            F.col("template").alias("template_mined")))
 
     return MiningResult(assignments=assignments, clusters=clusters, raw=folded,
-                        prior_max=prior_max)
+                        prior_max=prior_max, _new_refs=new.select("cluster_ref"),
+                        _extra_persisted=extra_persisted)
 
 
-def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
-                        clusters_raw: DataFrame,
-                        prior_rows: List[tuple],
-                        prior_max: int):
-    """Two-phase mine+merge reconciliation (SURVEY.md §7).
+# distributed-merge output: "c" rows are merged clusters keyed by their
+# MERGED ref ("g:<prior id>" or "n:<created_key>"); "m" rows translate an
+# original bank ref (cluster_ref) to its merged ref
+MERGED_SCHEMA = T.StructType([
+    T.StructField("row_kind", T.StringType()),
+    T.StructField("cluster_ref", T.StringType()),
+    T.StructField("merged_ref", T.StringType()),
+    T.StructField("group_key", T.StringType()),
+    T.StructField("token_count", T.IntegerType()),
+    T.StructField("template", T.StringType()),
+    T.StructField("size", T.LongType()),
+    T.StructField("ckey", T.StringType()),
+    T.StructField("updated_key", T.StringType()),
+    T.StructField("routing", T.StringType()),
+])
 
-    Bank cluster tables are tiny (clusters ≪ rows); they are collected
-    and merged on the driver with the same kernel:
+
+def _make_group_merger(cfg: EngineConfig, bc_prior):
+    """Two-phase mine+merge reconciliation (SURVEY.md §7), DISTRIBUTED:
+    one applyInPandas task per mining group, over cluster rows only
+    (clusters ≪ rows; per-group merges are independent, so nothing is
+    collected to the driver and the merge parallelism tracks the group
+    count).
 
     * bank copies of a PRIOR cluster merge with the ENGINE's template
       merge — positional for drain (associative for equal-length
@@ -357,32 +445,43 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
       new bank cluster may land in a prior cluster or found a merged new
       cluster; its bank size transfers to the target.
 
-    Returns (clusters DataFrame, cluster_ref -> cluster_id map DataFrame).
+    Global renumbering of merged-new refs happens downstream in the
+    shared finalization tail (window over the tiny cluster-row set).
     """
-    from collections import defaultdict
+    engine_name = cfg.engine
+    kw = dict(sim_th=cfg.sim_th, depth=cfg.depth,
+              max_children=cfg.max_children, max_clusters=None,
+              param_str=cfg.param_str,
+              parametrize_numeric_tokens=cfg.parametrize_numeric_tokens)
 
-    crows = clusters_raw.collect()
-    by_group: dict = defaultdict(list)
-    for r in crows:
-        by_group[r["group_key"]].append(r)
-    prior_by_id = {int(p[0]): p for p in prior_rows}
-    w = cfg.param_str
-    bank_cls = TemplateBank
-    if cfg.engine == "jaccard":
-        from drain3_spark.core.kernel_jaccard import JaccardBank
-        bank_cls = JaccardBank
+    def merge_group(pdf):
+        import pandas as pd
+        from drain3_spark.core.kernel import ClusterRec, TemplateBank
+        bank_cls = TemplateBank
+        if engine_name == "jaccard":
+            from drain3_spark.core.kernel_jaccard import JaccardBank
+            bank_cls = JaccardBank
 
-    ref_map: dict = {}           # bank cluster_ref -> pid | ClusterRec
-    merged_new: List[ClusterRec] = []
-    final_rows: List[tuple] = []
+        gkey = str(pdf.iloc[0]["group_key"])
+        prior_by_id = {int(p[0]): p for p in bc_prior.value}
+        pdf = pdf.sort_values("ckey", kind="mergesort")
+        rows = pdf.to_dict("records")
 
-    for gkey in sorted(by_group):
-        rows = sorted(by_group[gkey], key=lambda r: r["ckey"] or "")
+        bank = bank_cls(**kw)
+        out = {name: [] for name in MERGED_SCHEMA.names}
 
-        bank = bank_cls(
-            sim_th=cfg.sim_th, depth=cfg.depth, max_children=cfg.max_children,
-            max_clusters=None, param_str=w,
-            parametrize_numeric_tokens=cfg.parametrize_numeric_tokens)
+        def emit(kind, ref, merged_ref, token_count, template, size,
+                 ckey, updated_key, routing):
+            out["row_kind"].append(kind)
+            out["cluster_ref"].append(ref)
+            out["merged_ref"].append(merged_ref)
+            out["group_key"].append(gkey)
+            out["token_count"].append(int(token_count))
+            out["template"].append(template)
+            out["size"].append(int(size))
+            out["ckey"].append(ckey)
+            out["updated_key"].append(updated_key)
+            out["routing"].append(routing)
 
         merged_prior: dict = {}
         for r in rows:
@@ -399,7 +498,6 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
                 mp["upd"] = max(mp["upd"], r["updated_key"] or "")
             merged_prior[pid]["delta"] += \
                 int(r["size"]) - int(prior_by_id[pid][4])
-            ref_map[r["cluster_ref"]] = pid
 
         for pid in sorted(merged_prior):
             p = prior_by_id[pid]
@@ -411,7 +509,12 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
             rec.updated_key = max(p[6] or "", merged_prior[pid]["upd"])
             bank.registry[rec.cid] = rec
             bank._insert_path(rec)
+            emit("m", f"g:{pid}", f"g:{pid}", 0, "", 0, "", "", "")
         prior_ids = set(bank.registry)
+
+        def merged_ref_of(rec: ClusterRec) -> str:
+            return (f"g:{rec.cid}" if rec.cid in prior_ids
+                    else f"n:{rec.created_key}")
 
         for r in rows:
             if not r["cluster_ref"].startswith("n:"):
@@ -423,36 +526,12 @@ def _merge_salted_banks(spark: SparkSession, cfg: EngineConfig,
             rec = bank.registry[int(res["cluster_id"])]
             rec.size += int(r["size"]) - 1  # ingest counted 1; bank size owns it
             rec.updated_key = max(rec.updated_key, r["updated_key"] or "")
-            ref_map[r["cluster_ref"]] = rec.cid if rec.cid in prior_ids else rec
+            emit("m", r["cluster_ref"], merged_ref_of(rec), 0, "", 0, "", "", "")
 
         for rec in bank.registry.values():
-            if rec.cid not in prior_ids:
-                merged_new.append(rec)
-            final_rows.append((rec.cid if rec.cid in prior_ids else rec,
-                               gkey, len(rec.tokens), rec.template,
-                               int(rec.size), rec.created_key, rec.updated_key,
-                               " ".join(rec.routing)))
+            emit("c", merged_ref_of(rec), None, len(rec.tokens), rec.template,
+                 rec.size, rec.created_key, rec.updated_key,
+                 " ".join(rec.routing))
+        return pd.DataFrame(out, columns=MERGED_SCHEMA.names)
 
-    # untouched prior groups pass through unchanged
-    touched = set(by_group)
-    for p in prior_rows:
-        if p[1] not in touched:
-            final_rows.append((int(p[0]), p[1], int(p[2]), p[3], int(p[4]),
-                               p[5], p[6], p[7]))
-
-    # deterministic renumbering of merged new clusters
-    merged_new.sort(key=lambda rec: rec.created_key)
-    new_ids = {id(rec): prior_max + i + 1 for i, rec in enumerate(merged_new)}
-
-    def fid(x) -> int:
-        return int(x) if isinstance(x, int) else new_ids[id(x)]
-
-    cluster_rows = [(fid(r[0]),) + tuple(r[1:]) for r in final_rows]
-    if cfg.max_clusters is not None:
-        cluster_rows.sort(key=lambda r: (r[6] or "", r[0]), reverse=True)
-        cluster_rows = cluster_rows[:cfg.max_clusters]
-    clusters_df = local_df(spark, cluster_rows, CLUSTER_SCHEMA)
-    id_map = local_df(spark,
-                      [(ref, fid(target)) for ref, target in ref_map.items()],
-                      "cluster_ref string, cluster_id long")
-    return clusters_df, id_map, len(merged_new)
+    return merge_group
