@@ -131,8 +131,9 @@ class EngineProfiler:
         return rows
 
     def report_df(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            self.report_rows(),
+        from drain3_spark.util import local_df
+        return local_df(
+            spark, self.report_rows(),
             "section string, took_sec double, took_pct double, "
             "samples long, ms_per_1k_samples double, hz double")
 

@@ -33,7 +33,22 @@ def get_spark(app_name: str = "drain3_spark",
     if master.startswith("local"):
         inner = master[master.find("[") + 1:master.find("]")] if "[" in master else "1"
         n_local = os.cpu_count() if inner == "*" else int(inner)
-    default_mem = "24g" if n_local >= 16 else "8g"
+    default_mem = "8g"
+    if n_local >= 16:
+        # cap by detected system memory: a 24g heap on a <32GiB host
+        # would fail to start (or get OOM-killed); SPARK_DRIVER_MEMORY
+        # overrides either way
+        try:
+            with open("/proc/meminfo") as fh:
+                total_kb = int(next(ln for ln in fh
+                                    if ln.startswith("MemTotal")).split()[1])
+            total_gib = total_kb / (1024 * 1024)
+        except (OSError, StopIteration, ValueError, IndexError):
+            total_gib = None
+        if total_gib is None or total_gib >= 32:
+            default_mem = "24g"
+        else:
+            default_mem = f"{max(2, int(total_gib // 2))}g"
     b = (
         SparkSession.builder.master(master).appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))

@@ -51,7 +51,8 @@ def make_batch_processor(store: CheckpointStore,
     # the store is read only on (re)start.  Snapshot-skipped deltas thus
     # survive to the next commit; only a crash loses them — exactly the
     # reference's un-snapshotted-messages window.
-    mem: dict = {"hw": None, "rows": None, "counter": 0, "dirty": False}
+    mem: dict = {"hw": None, "rows": None, "counter": 0, "dirty": False,
+                 "last_batch_id": None}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -94,18 +95,28 @@ def make_batch_processor(store: CheckpointStore,
         else:
             mem["hw"], mem["dirty"] = hw, True
         mem["rows"], mem["counter"] = rows, new_counter
+        mem["last_batch_id"] = batch_id
         mined.unpersist()
 
     def flush(spark: SparkSession) -> None:
         """Snapshot any cadence-deferred state (query shutdown — the
-        analog of the reference's final save before exit)."""
+        analog of the reference's final save before exit).
+
+        The commit carries the LAST PROCESSED batch's key, not a
+        synthetic one: if the query stopped after foreachBatch completed
+        a skip-commit batch but before the stream checkpoint committed
+        it, restart re-delivers that batch — the replay guard above only
+        recognizes it if the flushed state is keyed by its id (otherwise
+        the batch would be re-mined onto already-flushed state and
+        double-count cluster sizes)."""
         if not mem["dirty"] or mem["rows"] is None:
             return
         from drain3_spark.operators.mining import CLUSTER_SCHEMA
         from drain3_spark.util import local_df
         clusters = local_df(spark, mem["rows"], CLUSTER_SCHEMA)
         next_id = (mem["hw"] + 1) if mem["hw"] is not None else 0
-        store.commit(next_id, clusters, mem["counter"], batch_key="stream-flush")
+        store.commit(next_id, clusters, mem["counter"],
+                     batch_key=f"stream-{mem['last_batch_id']}")
         mem["hw"], mem["dirty"] = next_id, False
 
     process_batch.flush = flush
@@ -154,6 +165,12 @@ def run_streaming(spark: SparkSession,
         if timeout_sec:
             query.awaitTermination(timeout_sec)
             query.stop()
-    # snapshot any cadence-deferred state before handing the store back
-    process_batch.flush(spark)
+    # snapshot any cadence-deferred state before handing the store back —
+    # but ONLY once the query has stopped: flushing while the streaming
+    # thread is live would race process_batch over the shared mem dict
+    # and the store (both could commit the same next_id).  A still-
+    # running query (once=False, no timeout) keeps ownership; the caller
+    # stops it and calls process_batch.flush itself.
+    if not query.isActive:
+        process_batch.flush(spark)
     return store

@@ -192,6 +192,45 @@ def test_stream_snapshot_cadence_skips_no_delta(spark, tmp_path):
     assert counter == 3
 
 
+def test_flush_keys_last_processed_batch(spark, tmp_path):
+    """flush() must commit cadence-deferred state under the LAST
+    PROCESSED batch's key: after a crash between a skip-commit batch's
+    foreachBatch and its stream-checkpoint commit, restart re-delivers
+    that batch and the replay guard must recognize the flushed state
+    (a synthetic key would re-mine the batch onto already-flushed state
+    and double-count cluster sizes)."""
+    from drain3_spark.streaming import make_batch_processor
+    from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
+
+    def batch(i, lines):
+        rows = [(f"2026-08-0{i+1}", f"clip-{i:02d}{j:08d}", t)
+                for j, t in enumerate(lines)]
+        return spark.createDataFrame(rows, "ds string, clip_id string, transcript string")
+
+    def make_proc():
+        return make_batch_processor(
+            store, EngineConfig(snapshot_interval_minutes=60),
+            ValidationEngine(ValidationConfig(with_audio=False, with_drift=False)),
+            str(tmp_path / "out"), validate=False)
+
+    store = CheckpointStore(str(tmp_path / "state"))
+    proc = make_proc()
+    proc(batch(0, ["alpha beta", "gamma delta run"]), 0)   # creates -> commit
+    proc(batch(1, ["alpha beta", "alpha beta"]), 1)        # sizes only -> skip
+    proc.flush(spark)                                      # shutdown flush
+    _, rows, _, key = store.latest(spark)
+    assert key == "stream-1"
+    sizes = {r[3]: r[4] for r in rows}
+    assert sizes["alpha beta"] == 3
+
+    # restart: stream checkpoint never committed batch 1 -> re-delivery
+    proc2 = make_proc()
+    proc2(batch(1, ["alpha beta", "alpha beta"]), 1)
+    _, rows2, _, _ = store.latest(spark)
+    sizes2 = {r[3]: r[4] for r in rows2}
+    assert sizes2["alpha beta"] == 3   # NOT double-counted
+
+
 def test_counter_monotonic_under_lru_eviction(spark):
     """Cluster ids are never reused after LRU eviction: the persisted
     counter is prior + created, not max(live ids)

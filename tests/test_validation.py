@@ -142,7 +142,12 @@ def test_report_plan_has_no_python_rdd_scans(spark):
     clips = FX.gen_clips(spark, 60, dirty=True, dur_lo=200, dur_hi=400)
     rep = ValidationEngine(ValidationConfig(with_audio=False)).validate(clips)
     rep.violations.count()
-    for df in (rep.partition_report, rep.metrics, rep.histograms):
+    from drain3_spark.profiling import EngineProfiler
+    prof = EngineProfiler()
+    with prof.section("demo"):
+        pass
+    for df in (rep.partition_report, rep.metrics, rep.histograms,
+               prof.report_df(spark)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ExistingRDD" not in plan and "PythonRDD" not in plan, plan[:500]
         assert "LocalTableScan" in plan
