@@ -201,6 +201,60 @@ def gen_clips(spark: SparkSession, n: int, dirty: bool = False,
     return spark.range(0, n, numPartitions=parts).mapInPandas(synth, CLIPS_SCHEMA)
 
 
+IMAGES_SCHEMA = T.StructType([
+    T.StructField("item_id", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def gen_images(spark: SparkSession, n: int, width: int = 16, height: int = 16,
+               partitions: Optional[int] = None) -> DataFrame:
+    """Deterministic uncompressed image corpus (PPM/BMP alternating),
+    synthesized on executors: pixels are md5-keystream bytes of the item
+    index, so every engine reproduces them bit-exactly."""
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        npx = width * height * 3
+        for b in batches:
+            rows: List[tuple] = []
+            for i in b["id"]:
+                i = int(i)
+                stream = b""
+                k = 0
+                while len(stream) < npx:
+                    stream += hashlib.md5(f"img-{i}-{k}".encode()).digest()
+                    k += 1
+                img = np.frombuffer(stream[:npx], np.uint8).reshape(
+                    height, width, 3)
+                if i % 2 == 0:
+                    fmt = "ppm"
+                    payload = (b"P6\n%d %d\n255\n" % (width, height)
+                               + img.tobytes())
+                else:
+                    fmt = "bmp"
+                    stride = (width * 3 + 3) & ~3
+                    padded = np.zeros((height, stride), np.uint8)
+                    padded[:, :width * 3] = img[::-1, :, ::-1].reshape(
+                        height, width * 3)
+                    px = padded.tobytes()
+                    off = 14 + 40
+                    payload = (b"BM" + struct.pack("<IHHI", off + len(px),
+                                                   0, 0, off)
+                               + struct.pack("<IiiHHIIiiII", 40, width,
+                                             height, 1, 24, 0, len(px),
+                                             2835, 2835, 0, 0) + px)
+                rows.append((f"img-{i:08d}", fmt, payload))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA])
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(
+        synth, IMAGES_SCHEMA)
+
+
 def gen_transcripts_ref(spark: SparkSession, n: int, dirty: bool = False,
                         n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
                         partitions: Optional[int] = None) -> DataFrame:

@@ -6,16 +6,18 @@ feature-extract / resize / frame-sample run as batched Arrow
 Arrow batch memory — ``spark.sql.execution.arrow.maxRecordsPerBatch``).
 
 Audio is REAL end-to-end here (drain3_spark.audio implements the
-codecs).  Image decode and video frame-sampling are STUBS: the
-decoding libraries are not in this container, so ``decode_image`` /
-``sample_video_frames`` raise ``NotImplementedError`` unless the
-deterministic fake decoder is requested — the Spark-side plumbing
-(schema, batching, UDF signature, partitioning) is real and tested
-either way.
+codecs).  Image decode is real for UNCOMPRESSED formats — pure-numpy
+decoders for binary PPM/PGM (P6/P5) and 24-bit BI_RGB BMP, with Pillow
+auto-detected when importable for everything else.  Compressed image
+formats without Pillow, and video frame-sampling, remain declared
+STUBS (the codec libraries are not in this container); the Spark-side
+plumbing (schema, batching, UDF signature, partitioning) is real and
+tested either way.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -34,7 +36,18 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("item_id", T.StringType()),
     T.StructField("n_bytes", T.IntegerType()),
-    T.StructField("histogram", T.ArrayType(T.DoubleType())),  # 16-bin byte hist
+    T.StructField("width", T.IntegerType()),       # null with fake decoder
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("histogram", T.ArrayType(T.DoubleType())),  # 16-bin luma hist
+])
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("item_id", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),       # row-major RGB bytes
 ])
 
 
@@ -65,40 +78,155 @@ def audio_features(clips: DataFrame) -> DataFrame:
             .mapInPandas(extract, AUDIO_FEATURES_SCHEMA))
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB: no image decoding library in this container.  On a real
-    deployment this is Pillow/torchvision inside the same mapInPandas
-    shape as :func:`audio_features`."""
-    raise NotImplementedError("image decoding requires an image library; "
-                              "use fake_decoder=True for plumbing tests")
+def _pnm_header(data: bytes):
+    """Parse a PNM header (magic already checked): returns
+    (width, height, maxval, raster_offset).  Comments (#...) and runs of
+    whitespace are allowed between tokens; exactly one whitespace byte
+    separates maxval from the raster (netpbm spec)."""
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data):
+            c = data[pos:pos + 1]
+            if c == b"#":
+                pos = data.index(b"\n", pos) + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    return vals[0], vals[1], vals[2], pos + 1
+
+
+def _decode_pnm(data: bytes) -> np.ndarray:
+    magic = data[:2]
+    w, h, maxval, off = _pnm_header(data)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    if magic == b"P6":
+        return (np.frombuffer(data, np.uint8, count=w * h * 3, offset=off)
+                .reshape(h, w, 3))
+    return (np.frombuffer(data, np.uint8, count=w * h, offset=off)
+            .reshape(h, w, 1))
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP (got bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3          # rows padded to 4 bytes
+    rows = (np.frombuffer(data, np.uint8, count=stride * h, offset=pix_off)
+            .reshape(h, stride))
+    img = rows[:, :w * 3].reshape(h, w, 3)[..., ::-1]   # BGR -> RGB
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode image bytes to an (H, W, C) uint8 array.
+
+    Decoders, in order:
+
+    1. Pillow, auto-detected when importable (any format it supports);
+    2. pure-numpy decoders for UNCOMPRESSED formats: binary PPM (P6),
+       PGM (P5), and 24-bit BI_RGB BMP — so the image path is real
+       end-to-end without any media library;
+    3. otherwise ``NotImplementedError``: compressed formats (PNG/JPEG/
+       ...) need a codec library this container does not ship — a
+       declared stub, same mapInPandas shape either way.
+    """
+    raw = bytes(payload)
+    try:
+        import io
+        from PIL import Image  # optional dependency, absent here
+        return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+    except ImportError:
+        pass
+    if raw[:2] in (b"P5", b"P6"):
+        return _decode_pnm(raw)
+    if raw[:2] == b"BM":
+        return _decode_bmp(raw)
+    raise NotImplementedError(
+        "compressed image formats require an image library (Pillow); "
+        "PPM/PGM/BMP decode natively — or use fake_decoder=True for "
+        "plumbing tests")
+
+
+def _resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize by integer index mapping (pure numpy)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri][:, ci]
 
 
 def image_features(items: DataFrame, id_col: str = "item_id",
                    payload_col: str = "payload",
                    fake_decoder: bool = False) -> DataFrame:
-    """Feature extraction over opaque image bytes.
+    """Feature extraction over opaque image bytes: dimensions + 16-bin
+    luma histogram from the REAL decode (PPM/PGM/BMP native, Pillow when
+    present).
 
     ``fake_decoder=True`` substitutes a deterministic byte-histogram
-    'decoder' so the distributed plumbing is exercised end-to-end."""
+    'decoder' (dimensions null) so the distributed plumbing is
+    exercised on arbitrary payloads."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, sizes, hists = [], [], []
+            out = []
             for iid, payload in zip(b[id_col], b[payload_col]):
                 raw = bytes(payload)
-                if not fake_decoder:
-                    decode_image(raw)  # raises NotImplementedError
-                arr = np.frombuffer(raw, dtype=np.uint8)
+                if fake_decoder:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    dims = (None, None, None)
+                else:
+                    img = decode_image(raw)
+                    arr = img.mean(axis=2).astype(np.uint8).ravel()  # luma
+                    dims = (img.shape[1], img.shape[0], img.shape[2])
                 hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
                 total = hist.sum() or 1.0
-                ids.append(iid)
-                sizes.append(len(raw))
-                hists.append(list(hist / total))
-            yield pd.DataFrame({"item_id": ids, "n_bytes": sizes,
-                                "histogram": hists})
+                out.append((iid, len(raw), *dims, list(hist / total)))
+            yield pd.DataFrame(out,
+                               columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
 
     return (items.select(F.col(id_col), F.col(payload_col))
             .mapInPandas(extract, IMAGE_FEATURES_SCHEMA))
+
+
+def resize_images(items: DataFrame, out_w: int, out_h: int,
+                  id_col: str = "item_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Decode + nearest-neighbor resize to (out_w, out_h); emits
+    row-major RGB bytes — the decode/transform half of an image
+    training-data pipeline, in the same bounded-Arrow-batch shape as
+    :func:`audio_features`."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for iid, payload in zip(b[id_col], b[payload_col]):
+                img = decode_image(bytes(payload))
+                if img.shape[2] == 1:                 # grayscale -> RGB
+                    img = np.repeat(img, 3, axis=2)
+                small = _resize_nn(img, out_h, out_w)
+                out.append((iid, out_w, out_h, small.shape[2],
+                            np.ascontiguousarray(small).tobytes()))
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return (items.select(F.col(id_col), F.col(payload_col))
+            .mapInPandas(resize, RESIZED_SCHEMA))
 
 
 def sample_video_frames(*args, **kwargs):  # pragma: no cover - stub by design

@@ -1,6 +1,7 @@
 """Training-data pipeline operators over the driver testdata tables."""
 
 import duckdb
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -231,3 +232,62 @@ def test_near_dup_blas_path_matches_catalyst(spark, emb):
     assert cat, "threshold should admit at least one pair"
     for k in cat:
         assert abs(cat[k] - blas[k]) <= 1e-6, (k, cat[k], blas[k])
+
+
+def _encode_ppm(img):
+    h, w = img.shape[:2]
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _encode_bmp(img):
+    import struct
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)   # bottom-up BGR
+    px = rows.tobytes()
+    off = 14 + 40
+    fh = b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                     2835, 2835, 0, 0)
+    return fh + ih + px
+
+
+def test_image_decode_real_formats(spark):
+    """PPM and BMP decode natively (pure numpy) end-to-end through the
+    Spark image path: dimensions, luma histogram, and nearest-neighbor
+    resize all verified against numpy ground truth."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+
+    # kernel-level roundtrip for both containers
+    assert np.array_equal(multimodal.decode_image(_encode_ppm(img)), img)
+    assert np.array_equal(multimodal.decode_image(_encode_bmp(img)), img)
+
+    items = spark.createDataFrame(
+        [("ppm", bytearray(_encode_ppm(img))),
+         ("bmp", bytearray(_encode_bmp(img)))],
+        "item_id string, payload binary")
+    feats = {r.item_id: r for r in multimodal.image_features(items).collect()}
+    luma = img.mean(axis=2).astype(np.uint8).ravel()
+    want = np.bincount(luma >> 4, minlength=16) / luma.size
+    for r in feats.values():
+        assert (r.width, r.height, r.channels) == (17, 24, 3)
+        assert np.allclose(r.histogram, want)
+
+    resized = {r.item_id: r for r in
+               multimodal.resize_images(items, out_w=8, out_h=6).collect()}
+    truth = multimodal._resize_nn(img, 6, 8)
+    for r in resized.values():
+        got = np.frombuffer(bytes(r.pixels), np.uint8).reshape(6, 8, 3)
+        assert np.array_equal(got, truth)
+
+    # grayscale PGM path
+    gray = rng.randint(0, 256, size=(5, 9), dtype=np.uint8)
+    pgm = b"P5\n9 5\n255\n" + gray.tobytes()
+    dec = multimodal.decode_image(pgm)
+    assert dec.shape == (5, 9, 1) and np.array_equal(dec[:, :, 0], gray)
+
+    # compressed formats stay declared stubs (without Pillow)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
