@@ -310,7 +310,10 @@ def mine_templates(df: DataFrame,
     # it, and a lazy persist lets one downstream action race its own
     # subtrees into computing the fold 2-3x (measured 20s vs 6s on the
     # jaccard mine+match entry).  The count is the mining work itself.
-    folded.count()
+    # In salted mode the merge's own materialization below fills this
+    # persist in the same job — don't pay a second action for it.
+    if not salted:
+        folded.count()
 
     clusters_raw = folded.filter(F.col("row_kind") == "c")
     assignments_raw = folded.filter(F.col("row_kind") == "a")
