@@ -240,6 +240,14 @@ def match_clusters_sql_jaccard(df: DataFrame,
     Jaccard via ``array_intersect``/``array_union`` — pure Catalyst,
     ZERO shuffle of the big side.  Ties argmax (sim, wildcard count,
     lowest cluster id).
+
+    Tie-break note: the kernel keeps the FIRST candidate in node
+    iteration order on full (sim, wc) ties.  Every SQL inference bank is
+    rebuilt ``from_state`` (ascending cluster id insertion), where node
+    order IS ascending id — so the lowest-id tie-break here equals the
+    kernel's, which the reference differential verifies row-for-row.  A
+    live mid-merge bank could iterate in a different order; bulk SQL
+    inference never sees one (it always starts from a state table).
     """
     w = cfg.param_str
     required = 0.8  # drain3/jaccard_drain.py:209
