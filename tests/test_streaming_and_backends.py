@@ -344,3 +344,53 @@ def test_redis_backend_set_get():
     blob = snapshot_blob([(7, "g", 3, "t u v", 4, "c", "u", "t u v")], counter=9)
     be.save_state(blob)
     assert load_snapshot_blob(be.load_state())[1] == 9
+
+
+def test_stateful_streaming_miner(spark, tmp_path):
+    """applyInPandasWithState variant: mining state lives in Spark's
+    state store keyed by token count, survives across micro-batches AND
+    across query restarts via the stream checkpoint; templates equal the
+    batch miner's (group-local ids by design)."""
+    from drain3_spark.streaming_stateful import (ID_STRIDE,
+                                                 run_stateful_streaming)
+    from drain3_spark.operators.mining import mine_templates
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    schema = "ds string, clip_id string, transcript string"
+
+    def batch(i, lines):
+        rows = [(f"2026-08-0{i+1}", f"clip-{i:02d}{j:08d}", t)
+                for j, t in enumerate(lines)]
+        return spark.createDataFrame(rows, schema)
+
+    b1 = ["alpha beta one", "alpha beta two", "gamma delta run now"]
+    b2 = ["alpha beta three", "gamma delta run later", "omega new thing"]
+
+    batch(0, b1).write.mode("append").parquet(str(src))
+    run_stateful_streaming(spark, str(src), schema, str(ckpt), str(out))
+    first = {r.clip_id: r for r in spark.read.parquet(str(out)).collect()}
+    assert len(first) == 3
+    assert first["clip-0000000001"].template_mined == "alpha beta <*>"
+
+    # restart with new files: state restored from the checkpoint
+    batch(1, b2).write.mode("append").parquet(str(src))
+    run_stateful_streaming(spark, str(src), schema, str(ckpt), str(out))
+    rows = {r.clip_id: r for r in spark.read.parquet(str(out)).collect()}
+    assert len(rows) == 6
+    r3 = rows["clip-0100000000"]          # "alpha beta three"
+    assert r3.template_mined == "alpha beta <*>"
+    assert r3.cluster_size == 3           # sizes accumulated across restarts
+    assert r3.cluster_id == 3 * ID_STRIDE + 1
+    assert rows["clip-0100000001"].cluster_size == 2   # gamma delta run later
+    assert rows["clip-0100000002"].change_type == "cluster_created"
+
+    # templates equal the batch miner over the concatenated corpus
+    full = batch(0, b1).unionByName(batch(1, b2))
+    res = mine_templates(full, EngineConfig(mining_salt=1))
+    want = {r.clip_id: r.template_mined
+            for r in res.assignments.collect()}
+    got = {cid: r.template_mined for cid, r in rows.items()}
+    assert got == want
+    res.unpersist()
