@@ -435,6 +435,19 @@ def _q31_image_features(spark, sf):
                  F.sum("resized_bytes").alias("resized_total_bytes")))
 
 
+def _q32_video_frames(spark, sf):
+    """Raw Y4M frame sampling (pure-numpy 4:2:0 decode + BT.601 YUV->RGB)
+    over a deterministic synthetic video corpus (rows-only: binary video
+    decode has no SQL oracle; pinned by test_video_frame_sampling_y4m)."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.multimodal import sample_video_frames
+    vids = FX.gen_videos(spark, 50)
+    frames = sample_video_frames(vids, every_nth=2)
+    return frames.agg(F.count(F.lit(1)).alias("n_frames_kept"),
+                      F.countDistinct("item_id").alias("n_videos"),
+                      F.sum(F.length("pixels")).alias("rgb_bytes"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -464,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,
+        "q32_video_frames": _q32_video_frames,
         "q26_jaccard_mining": _q26_jaccard_mining,
         "q29_jaccard_match_sql": _q29_jaccard_match_sql,
         "q28_extract_params": _q28_extract_params,

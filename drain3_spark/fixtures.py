@@ -255,6 +255,49 @@ def gen_images(spark: SparkSession, n: int, width: int = 16, height: int = 16,
         synth, IMAGES_SCHEMA)
 
 
+VIDEOS_SCHEMA = T.StructType([
+    T.StructField("item_id", T.StringType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def gen_videos(spark: SparkSession, n: int, width: int = 16, height: int = 12,
+               n_frames: int = 8,
+               partitions: Optional[int] = None) -> DataFrame:
+    """Deterministic raw Y4M (4:2:0) video corpus synthesized on
+    executors: per-item md5-seeded gradient frames."""
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ysz = width * height
+        csz = (width // 2) * ((height + 1) // 2)
+        for b in batches:
+            rows: List[tuple] = []
+            for i in b["id"]:
+                i = int(i)
+                seed = int.from_bytes(hashlib.md5(f"vid-{i}".encode()).digest()[:4],
+                                      "big")
+                parts = [b"YUV4MPEG2 W%d H%d F25:1 Ip A0:0 C420jpeg\n"
+                         % (width, height)]
+                for k in range(n_frames):
+                    y = ((np.arange(ysz, dtype=np.int64) * 7 + seed + 11 * k)
+                         % 256).astype(np.uint8)
+                    u = ((np.arange(csz, dtype=np.int64) * 3 + seed // 2 + 5 * k)
+                         % 256).astype(np.uint8)
+                    v = ((np.arange(csz, dtype=np.int64) * 5 + seed // 3 + 3 * k)
+                         % 256).astype(np.uint8)
+                    parts.append(b"FRAME\n" + y.tobytes() + u.tobytes()
+                                 + v.tobytes())
+                rows.append((f"vid-{i:08d}", n_frames, b"".join(parts)))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEOS_SCHEMA])
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(
+        synth, VIDEOS_SCHEMA)
+
+
 def gen_transcripts_ref(spark: SparkSession, n: int, dirty: bool = False,
                         n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
                         partitions: Optional[int] = None) -> DataFrame:

@@ -291,3 +291,52 @@ def test_image_decode_real_formats(spark):
     # compressed formats stay declared stubs (without Pillow)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def _encode_y4m(frames_rgb):
+    """Encode RGB frames as raw Y4M 4:2:0 (BT.601 full range) for the
+    decoder roundtrip test."""
+    h, w = frames_rgb[0].shape[:2]
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A0:0 C420jpeg\n" % (w, h)]
+    for rgb in frames_rgb:
+        f = rgb.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        u = np.clip(np.rint(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255)
+        v = np.clip(np.rint(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255)
+        u2 = u.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        v2 = v.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        out.append(b"FRAME\n" + y.astype(np.uint8).tobytes()
+                   + np.rint(u2).astype(np.uint8).tobytes()
+                   + np.rint(v2).astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def test_video_frame_sampling_y4m(spark):
+    """Raw Y4M decodes natively: frame count, sampling stride,
+    dimensions, and (approximate, due to 4:2:0 chroma subsampling)
+    pixel roundtrip verified through the Spark path."""
+    # smooth gradient frames: 4:2:0 chroma subsampling averages 2x2
+    # blocks, so only smooth content roundtrips closely
+    yy, xx = np.mgrid[0:8, 0:12]
+    base = np.stack([xx * 255 // 11, yy * 255 // 7,
+                     (xx + yy) * 255 // 18], axis=2).astype(np.uint8)
+    frames = [np.clip(base.astype(int) + 10 * k, 0, 255).astype(np.uint8)
+              for k in range(6)]
+    payload = _encode_y4m(frames)
+
+    # kernel-level: every frame, correct count and shape
+    decoded = list(multimodal.decode_y4m_frames(payload))
+    assert [i for i, _ in decoded] == list(range(6))
+    assert all(f.shape == (8, 12, 3) for _, f in decoded)
+    for (_, got), want in zip(decoded, frames):
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 16
+
+    items = spark.createDataFrame([("vid0", bytearray(payload))],
+                                  "item_id string, payload binary")
+    rows = multimodal.sample_video_frames(items, every_nth=2).collect()
+    assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 2, 4]
+    assert all((r.width, r.height) == (12, 8) for r in rows)
+
+    with pytest.raises(NotImplementedError):
+        list(multimodal.decode_y4m_frames(b"\x00\x00\x01\xba mpeg-ps"))
