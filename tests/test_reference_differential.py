@@ -145,3 +145,58 @@ def test_differential_jaccard_mining(spark):
            .orderBy("ds", "clip_id").collect())
     assert [o.matched_cluster_id for o in out] == ref_match
     res.unpersist()
+
+
+def test_config_ini_matches_reference_loader(tmp_path):
+    """The reference's own example ini parsed by BOTH loaders must yield
+    identical drain/masking/snapshot/profiling settings — and the
+    end-to-end check: mining a masked corpus under that config agrees."""
+    install_reference_shims()
+    from drain3.template_miner import TemplateMiner
+    from drain3.template_miner_config import TemplateMinerConfig
+
+    ini = "/root/reference/examples/drain3.ini"
+    rcfg = TemplateMinerConfig()
+    rcfg.load(ini)
+
+    from drain3_spark.config import EngineConfig
+    cfg = EngineConfig.load_ini(ini)
+
+    assert cfg.sim_th == rcfg.drain_sim_th
+    assert cfg.depth == rcfg.drain_depth
+    assert cfg.max_children == rcfg.drain_max_children
+    assert cfg.max_clusters == rcfg.drain_max_clusters
+    assert cfg.parametrize_numeric_tokens == rcfg.parametrize_numeric_tokens
+    assert list(cfg.extra_delimiters) == list(rcfg.drain_extra_delimiters)
+    assert cfg.mask_prefix == rcfg.mask_prefix
+    assert cfg.mask_suffix == rcfg.mask_suffix
+    assert cfg.snapshot_interval_minutes == rcfg.snapshot_interval_minutes
+    assert cfg.snapshot_compress_state == rcfg.snapshot_compress_state
+    assert cfg.profiling_enabled == rcfg.profiling_enabled
+    assert cfg.profiling_report_sec == rcfg.profiling_report_sec
+    assert [(m.pattern, m.mask_with) for m in cfg.masking] == \
+        [(mi.pattern_str if hasattr(mi, "pattern_str") else mi.regex.pattern,
+          mi.mask_with) for mi in rcfg.masking_instructions]
+
+    # end-to-end under the loaded configs: masked mining agrees
+    from drain3_spark.core.kernel import TemplateBank
+    from drain3_spark.core.masking import Masker
+    tm = TemplateMiner(config=rcfg)
+    masker = Masker(cfg.masking, cfg.mask_prefix, cfg.mask_suffix)
+    bank = TemplateBank(sim_th=cfg.sim_th, depth=cfg.depth,
+                        max_children=cfg.max_children,
+                        max_clusters=cfg.max_clusters,
+                        param_str=cfg.param_str,
+                        parametrize_numeric_tokens=cfg.parametrize_numeric_tokens)
+    lines = [
+        "connected to 10.0.0.1:8080 from user alice",
+        "connected to 192.168.7.9:443 from user bob",
+        "heap used 12345678 bytes limit 0x7fffffff",
+        "request took 250 ms status 200",
+        "request took 900 ms status 500",
+    ]
+    for i, line in enumerate(lines):
+        ref = tm.add_log_message(line)
+        got = bank.ingest(masker.mask(line), order_key=f"{i:04d}")
+        assert got["template_mined"] == ref["template_mined"], line
+        assert got["cluster_id"] == ref["cluster_id"], line
