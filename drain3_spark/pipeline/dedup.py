@@ -18,11 +18,32 @@ Hashes are md5-based so the DuckDB oracle reproduces them bit-exactly.
 
 from __future__ import annotations
 
+from collections import deque
 from typing import List, Optional, Union
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from drain3_spark.pipeline.text import fingerprint_md5, normalize_text
+
+
+#: Catalyst does not reuse exchanges across the branches of these
+#: operators' DAGs, so a subtree consumed by k branches would scan,
+#: explode, and shuffle the corpus k times.  ``_shared()`` persists such
+#: subtrees (MEMORY_AND_DISK: lineage kept, so executor loss recomputes
+#: — unlike localCheckpoint, which would fail the job) and bounds the
+#: session-lifetime cache with a small FIFO so repeated operator calls
+#: cannot leak unbounded block-manager state.
+_SHARED_CACHE: deque = deque()
+_SHARED_CACHE_MAX = 4
+
+
+def _shared(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SHARED_CACHE.append(df)
+    while len(_SHARED_CACHE) > _SHARED_CACHE_MAX:
+        _SHARED_CACHE.popleft().unpersist()
+    return df
 
 #: Default document-frequency cap for :func:`jaccard_pairs`.  The cap must
 #: be O(1) in corpus size — posting lists are materialized arrays and each
@@ -105,6 +126,11 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         postings = (sh.groupBy(*gcols)
                     .agg(F.array_sort(F.collect_list("id")).alias("ids"))
                     .filter(F.size("ids") <= df_cap))
+        # three consumers read the postings (sizes + both ends of the
+        # pair join); without sharing, the corpus scan, shingle explode,
+        # and posting-list shuffle all run 3x — at 100 TB that triples
+        # the operator's dominant shuffle
+        postings = _shared(postings)
         # per-doc shingle counts over the KEPT universe — derived from
         # the postings, so the text is exploded exactly once
         sizes = (postings.select(F.explode("ids").alias("id"))
@@ -214,13 +240,17 @@ def minhash_lsh_duplicates(df: DataFrame, id_col: str = "doc_id",
     result for any candidate pair is identical to what the uncapped
     all-pairs formulation would produce.
     """
-    cand = lsh_candidate_pairs(df, id_col, text_col, k, num_hashes, bands)
+    # the candidate table (minhash + band-join subtree) feeds three
+    # branches and the pruned shingles feed three more — share both so
+    # the expensive subtrees materialize once (see _shared)
+    cand = _shared(lsh_candidate_pairs(df, id_col, text_col, k,
+                                       num_hashes, bands))
     sh = shingle_rows(df, id_col, text_col, k)
 
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
-    sh_c = sh.join(cand_ids, "id", "left_semi")
+    sh_c = _shared(sh.join(cand_ids, "id", "left_semi"))
 
     sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (cand
