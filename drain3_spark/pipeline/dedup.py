@@ -210,12 +210,15 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     shuffles on the band key only — no all-pairs blowup."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    banded = (sig
-              .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-              .groupBy("id", "band")
-              .agg(F.md5(F.concat_ws("|", F.array_sort(
-                  F.collect_list(F.concat_ws(":", F.col("seed").cast("string"),
-                                             "minhash"))))).alias("band_key")))
+    # both sides of the bucket self-join read the banded signatures;
+    # share so the K-permutation signature aggregation runs once
+    banded = _shared(
+        sig
+        .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(
+            F.collect_list(F.concat_ws(":", F.col("seed").cast("string"),
+                                       "minhash"))))).alias("band_key")))
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     return (a.join(b, ["band", "band_key"])
@@ -299,7 +302,9 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
     """Near-dup candidates: identical simhash within any of 4 bands of
     ``band_bits`` bits (classic rotation trick), verified by hamming
     distance <= 3."""
-    sim = simhash64(df, id_col, text_col)
+    # 4 band projections x 2 self-join sides would evaluate the 60-bit
+    # sign aggregation 8x without sharing
+    sim = _shared(simhash64(df, id_col, text_col))
     parts = []
     for band in range(4):
         key = F.shiftright(F.col("simhash"),
