@@ -448,6 +448,38 @@ def _q32_video_frames(spark, sf):
                       F.sum(F.length("pixels")).alias("rgb_bytes"))
 
 
+def _q33_streaming_mining(spark, sf):
+    """Structured Streaming stateful mining (applyInPandasWithState):
+    the documents corpus streamed as micro-batched files through the
+    per-group state-store miner; returns corpus-level aggregates
+    (rows-only: streaming + sequential mining has no SQL oracle; pinned
+    by test_stateful_streaming_miner).  Deterministic: same corpus, same
+    templates, fresh checkpoint per call."""
+    import shutil
+    import tempfile
+    from drain3_spark.config import EngineConfig
+    from drain3_spark.streaming_stateful import run_stateful_streaming
+    from drain3_spark.util import local_df
+
+    work = tempfile.mkdtemp(prefix="q33_")
+    try:
+        clips = _docs_as_clips(spark, sf).limit(1000)
+        clips.repartition(4).write.mode("overwrite").parquet(f"{work}/src")
+        schema = "ds string, clip_id string, transcript string"
+        run_stateful_streaming(spark, f"{work}/src", schema,
+                               f"{work}/ckpt", f"{work}/out",
+                               EngineConfig(), max_files_per_trigger=2)
+        out = spark.read.parquet(f"{work}/out")
+        agg = (out.agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.countDistinct("cluster_id").alias("n_clusters"),
+                       F.countDistinct("template_mined").alias("n_templates"))
+               .collect()[0])
+        return local_df(spark, [tuple(agg)],
+                        "n_rows long, n_clusters long, n_templates long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -478,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,
         "q32_video_frames": _q32_video_frames,
+        "q33_streaming_mining": _q33_streaming_mining,
         "q26_jaccard_mining": _q26_jaccard_mining,
         "q29_jaccard_match_sql": _q29_jaccard_match_sql,
         "q28_extract_params": _q28_extract_params,
