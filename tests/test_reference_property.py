@@ -145,3 +145,57 @@ def test_extract_parameters_matches_reference(corpus):
             ref_norm = ([(p.value, p.mask_name) for p in ref_params]
                         if ref_params is not None else None)
             assert got_params == ref_norm, (template, line)
+
+
+@settings(max_examples=40, deadline=None)
+@given(corpus_a=_CORPUS, corpus_b=_CORPUS)
+def test_export_restore_matches_live_reference(corpus_a, corpus_b):
+    """State round-trip fidelity: the engine exports after corpus A and
+    restores into a FRESH bank before corpus B; the reference stays live
+    throughout.  Per-row outputs on B and the final cluster tables must
+    match — this pins the routing-token tree reconstruction (a restored
+    tree must be path-identical to an uninterrupted run)."""
+    tm = _ref_miner()
+    bank1 = TemplateBank()
+    for i, line in enumerate(corpus_a):
+        tm.add_log_message(line)
+        bank1.ingest(line, order_key=f"a{i:06d}")
+
+    bank2 = TemplateBank.from_state(bank1.export_state(),
+                                    counter=bank1.counter)
+    for i, line in enumerate(corpus_b):
+        ref = tm.add_log_message(line)
+        got = bank2.ingest(line, order_key=f"b{i:06d}")
+        assert got["template_mined"] == ref["template_mined"], (i, line)
+        assert got["cluster_id"] == ref["cluster_id"], (i, line)
+        assert got["change_type"] == ref["change_type"], (i, line)
+        assert got["cluster_size"] == ref["cluster_size"], (i, line)
+
+    ref_clusters = {c.cluster_id: (c.get_template(), c.size)
+                    for c in tm.drain.clusters}
+    eng = {r[0]: (" ".join(r[1]), r[2]) for r in bank2.export_state()}
+    assert eng == ref_clusters
+
+    for strategy in ("never", "fallback", "always"):
+        for line in corpus_a + corpus_b:
+            ref_m = tm.match(line, full_search_strategy=strategy)
+            got_m = bank2.match(line, strategy)
+            assert (got_m.cid if got_m else None) == \
+                (ref_m.cluster_id if ref_m else None), (strategy, line)
+
+
+@settings(max_examples=60, deadline=None)
+@given(line=st.text(alphabet=st.sampled_from(
+    list("abz XYZ019.:-=/[]#") ), min_size=0, max_size=80))
+def test_masker_matches_reference(line):
+    """Masker parity on arbitrary text under the reference's own example
+    masking rules (IP/NUM-style regexes from examples/drain3.ini)."""
+    install_reference_shims()
+    from drain3.masking import LogMasker, MaskingInstruction
+    from drain3_spark.config import EngineConfig
+    cfg = EngineConfig.load_ini("/root/reference/examples/drain3.ini")
+    ref_masker = LogMasker([MaskingInstruction(m.pattern, m.mask_with)
+                            for m in cfg.masking],
+                           cfg.mask_prefix, cfg.mask_suffix)
+    eng_masker = Masker(cfg.masking, cfg.mask_prefix, cfg.mask_suffix)
+    assert eng_masker.mask(line) == ref_masker.mask(line), line
