@@ -173,21 +173,28 @@ def mine_templates(df: DataFrame,
     order_cols = list(order_cols)
 
     masked = mask_col(F.col(content_col), cfg.masking, cfg.mask_prefix, cfg.mask_suffix)
-    toks = tokens_col(masked, cfg.extra_delimiters)
+    # the shuffle carries the masked STRING, not the token array:
+    # list<string> columns cost far more to Arrow-serialize and shuffle
+    # than one string per row, and the kernel re-tokenizes in-UDF with
+    # kernel.tokenize — parity-locked to this Catalyst tokenizer by
+    # test_unicode_whitespace_tokenize_parity.  The group-key columns
+    # below still derive from the token expression, but Catalyst prunes
+    # the array away before the Exchange.
     keyed = df.select(
         *order_cols,
         F.concat_ws(KEY_SEP, *[F.col(c).cast("string") for c in order_cols]).alias("ckey"),
-        toks.alias("tokens"),
+        masked.alias("masked"),
     )
     # null content never reaches the kernel: such rows are the null-rate
     # check's concern (SURVEY.md C2), not the miner's — the reference
     # would raise on a None message too (drain3/drain.py:182)
-    keyed = keyed.filter(F.col("tokens").isNotNull())
-    gcols = group_key_cols(F.col("tokens"), cfg)
+    keyed = keyed.filter(F.col("masked").isNotNull())
+    toks = tokens_col(F.col("masked"), cfg.extra_delimiters)
+    gcols = group_key_cols(toks, cfg)
     keyed = keyed.select("*", *gcols)
     if cfg.engine == "jaccard":
         gnames = ["first_token"]
-        keyed = keyed.withColumn("token_count", F.size("tokens"))
+        keyed = keyed.withColumn("token_count", F.size(toks))
     else:
         gnames = ["token_count"] + (["prefix_key"] if len(gcols) > 1 else [])
     # salt resolution: 0 = auto — make the post-shuffle mining stage's
@@ -239,6 +246,7 @@ def mine_templates(df: DataFrame,
         parametrize_numeric_tokens=cfg.parametrize_numeric_tokens,
     )
     engine_name = cfg.engine
+    extra_delims = tuple(cfg.extra_delimiters)
     out_schema = _fold_schema(df, order_cols)
 
     def fold_group(pdf):
@@ -286,9 +294,14 @@ def mine_templates(df: DataFrame,
 
         ovals_cols = [pdf[c].tolist() for c in order_cols]
         ckeys = pdf["ckey"].tolist()
-        token_lists = pdf["tokens"].tolist()
+        # tokenize in-UDF from the masked string (kernel.tokenize is
+        # parity-locked to the Catalyst tokenizer): the shuffle moved
+        # one string per row instead of a list<string> column
+        from drain3_spark.core.kernel import tokenize as _tokenize
+        delims = extra_delims
+        token_lists = [_tokenize(m, delims) for m in pdf["masked"].tolist()]
         for i in range(len(pdf)):
-            tokens = list(token_lists[i])
+            tokens = token_lists[i]
             r = bank.ingest_tokens(tokens, order_key=ckeys[i])
             rec = bank.registry[r["cluster_id"]]
             emit("a", [col[i] for col in ovals_cols], ckeys[i], ref_of(rec),
