@@ -363,10 +363,11 @@ def match_clusters(df: DataFrame,
               parametrize_numeric_tokens=cfg.parametrize_numeric_tokens)
 
     engine_name = cfg.engine
+    extra_delims = tuple(cfg.extra_delimiters)
 
     @pandas_udf(T.LongType())
     def match_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from drain3_spark.core.kernel import TemplateBank
+        from drain3_spark.core.kernel import TemplateBank, tokenize
         if engine_name == "jaccard":
             from drain3_spark.core.kernel_jaccard import JaccardBank as TemplateBank
         from drain3_spark.operators.mining import cluster_tuples_to_state
@@ -376,11 +377,14 @@ def match_clusters(df: DataFrame,
         bank = TemplateBank.from_state(state, **kw)
         for series in it:
             out = []
-            for tokens in series:
-                rec = bank.match_tokens(list(tokens), strategy)
+            for masked in series:
+                # tokenize in-UDF: the Arrow boundary moves one string
+                # per row instead of a list<string> column (the kernel
+                # tokenizer is parity-locked to the Catalyst one)
+                rec = bank.match_tokens(tokenize(masked, extra_delims),
+                                        strategy)
                 out.append(rec.cid if rec is not None else None)
             yield pd.Series(out, dtype="object")
 
     masked = mask_col(F.col(content_col), cfg.masking, cfg.mask_prefix, cfg.mask_suffix)
-    toks = tokens_col(masked, cfg.extra_delimiters)
-    return df.withColumn("matched_cluster_id", match_udf(toks))
+    return df.withColumn("matched_cluster_id", match_udf(masked))
