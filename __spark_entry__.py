@@ -55,7 +55,10 @@ _MINE_CACHE: dict = {}
 
 
 def _mined(spark: SparkSession, sf_dir: str, engine: str = "drain"):
-    key = (id(spark), sf_dir, engine)
+    # keyed by applicationId, not id(spark): a new session after a stop
+    # can reuse the same Python id() and would receive a MiningResult
+    # whose persisted frames belong to the dead JVM session
+    key = (spark.sparkContext.applicationId, sf_dir, engine)
     res = _MINE_CACHE.get(key)
     if res is None:
         from drain3_spark.config import EngineConfig
@@ -340,20 +343,12 @@ def _q24_audio_validation(spark, sf):
     return v.groupBy("check").agg(F.count(F.lit(1)).alias("n"))
 
 
-def _q28_extract_params(spark, sf):
-    """Slot-value extraction over mined templates (rows-only: python
-    regex semantics, reference drain3/template_miner.py:205-331).
-
-    The corpus is synthesized from the events table (user/type/value
-    fields embedded in a sentence) so templates carry real parameter
-    slots — the documents corpus is digit-light and would extract ~0
-    params per row."""
-    from drain3_spark.config import EngineConfig, MaskRule
-    from drain3_spark.operators.extraction import extract_params_col
-    from drain3_spark.operators.matching import match_clusters_sql
-    from drain3_spark.operators.mining import mine_templates
-    cfg = EngineConfig(mining_mode="exact", mining_salt=0,
-                       masking=[MaskRule(NUM_MASK_PATTERN, "NUM")])
+def _events_corpus(spark, sf):
+    """Transcript corpus synthesized from the events table (user/type/
+    value fields embedded in a sentence) so templates carry real
+    parameter slots — the documents corpus is digit-light and would
+    extract ~0 params per row.  Shared by q28 and the extract-parameters
+    reference differential (tests/test_reference_differential.py)."""
     e = _t(spark, sf, "events")
     full = F.concat(F.lit("user "), F.col("user_id").cast("string"),
                     F.lit(" ran "), F.col("event_type"),
@@ -365,11 +360,25 @@ def _q28_extract_params(spark, sf):
                     F.lit(" ran "), F.col("event_type"),
                     F.lit(" flagged without step marker"))
     k = F.get_json_object("props", "$.k").cast("long")
-    clips = e.select(
+    return e.select(
         F.date_format("ts", "yyyy-MM-dd").alias("ds"),
         F.format_string("ev-%012d", F.col("event_id")).alias("clip_id"),
         F.when(F.col("props").isNull() | (k % 3 == 0), bare)
         .otherwise(full).alias("transcript"))
+
+
+def _q28_extract_params(spark, sf):
+    """Slot-value extraction over mined templates (rows-only: python
+    regex semantics, reference drain3/template_miner.py:205-331;
+    verified row-for-row against the reference's extract_parameters in
+    test_differential_extract_parameters_spark)."""
+    from drain3_spark.config import EngineConfig, MaskRule
+    from drain3_spark.operators.extraction import extract_params_col
+    from drain3_spark.operators.matching import match_clusters_sql
+    from drain3_spark.operators.mining import mine_templates
+    cfg = EngineConfig(mining_mode="exact", mining_salt=0,
+                       masking=[MaskRule(NUM_MASK_PATTERN, "NUM")])
+    clips = _events_corpus(spark, sf)
     res = mine_templates(clips, cfg)
     matched = match_clusters_sql(clips, res.clusters, cfg)
     params = extract_params_col(F.col("matched_template"), F.col("transcript"), cfg)
@@ -383,17 +392,23 @@ def _q26_jaccard_mining(spark, sf):
     return res.clusters.select("cluster_id", "group_key", "template", "size")
 
 
-def _q29_jaccard_match_sql(spark, sf):
-    """Jaccard bulk inference: broadcast first-token join +
-    array_intersect/union similarity (rows-only: set-similarity argmax,
-    reference drain3/jaccard_drain.py:204-227; kernel parity pinned by
-    test_jaccard_sql_match_equals_kernel)."""
+def _q29_jaccard_match(spark, sf):
+    """Jaccard bulk inference via the Arrow kernel match path — the
+    measured-fast formulation (rows-only: set-similarity argmax,
+    reference drain3/jaccard_drain.py:204-227).  The pure-Catalyst
+    broadcast-join formulation (match_clusters_sql_jaccard) computes the
+    identical result but evaluates its scoring lambdas interpreted,
+    2-4x slower (operators/matching.py:252-262); it stays parity-locked
+    to this path by test_jaccard_sql_match_equals_kernel and the
+    reference differential, and result-pinned here by
+    test_q29_kernel_equals_sql_formulation."""
     from drain3_spark.config import EngineConfig
-    from drain3_spark.operators.matching import match_clusters_sql_jaccard
+    from drain3_spark.operators.matching import match_clusters
     cfg = EngineConfig(engine="jaccard")
     clips = _docs_as_clips(spark, sf)
     res = _mined(spark, sf, engine="jaccard")
-    out = match_clusters_sql_jaccard(clips, res.clusters, cfg)
+    state = [tuple(r) for r in res.clusters.collect()]
+    out = match_clusters(clips, state, cfg, strategy="always")
     return (out.groupBy("matched_cluster_id")
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
@@ -463,7 +478,10 @@ def _q33_streaming_mining(spark, sf):
 
     work = tempfile.mkdtemp(prefix="q33_")
     try:
-        clips = _docs_as_clips(spark, sf).limit(1000)
+        # deterministic subset: a bare GlobalLimit's row selection can
+        # shift with partition layout, and mining is order-sensitive
+        clips = (_docs_as_clips(spark, sf)
+                 .orderBy("ds", "clip_id").limit(1000))
         clips.repartition(4).write.mode("overwrite").parquet(f"{work}/src")
         schema = "ds string, clip_id string, transcript string"
         run_stateful_streaming(spark, f"{work}/src", schema,
@@ -512,7 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_video_frames": _q32_video_frames,
         "q33_streaming_mining": _q33_streaming_mining,
         "q26_jaccard_mining": _q26_jaccard_mining,
-        "q29_jaccard_match_sql": _q29_jaccard_match_sql,
+        "q29_jaccard_match": _q29_jaccard_match,
         "q28_extract_params": _q28_extract_params,
         "q27_cluster_report": _q27_cluster_report,
     }

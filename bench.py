@@ -76,7 +76,7 @@ def main() -> None:
                 "q6_mine_templates", "q7_match_inference", "q12_drift_chisq",
                 "q13_drift_ks", "q15_jaccard_pairs", "q18_simhash",
                 "q21_ann_cosine", "q22_embedding_neardup", "q26_jaccard_mining",
-                "q29_jaccard_match_sql", "q30_neardup_blas"]
+                "q29_jaccard_match", "q30_neardup_blas"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
@@ -145,6 +145,16 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             out["scaling"] = json.load(f)
+    # durable copy: the driver's tail window can truncate long stdout
+    # JSON (it lost round 3's per-query dict) — the committed file is
+    # the record of record for round-over-round regression comparison
+    last_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_last.json")
+    try:
+        with open(last_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries everything
     print(json.dumps(out))
 
 

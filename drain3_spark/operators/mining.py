@@ -126,10 +126,15 @@ _GROUP_EST_CACHE: dict = {}
 
 
 def _estimate_groups(keyed: DataFrame, gnames: Sequence[str]) -> int:
-    """Bounded-prefix group-count estimate, memoized per logical plan."""
+    """Bounded-prefix group-count estimate, memoized per (application,
+    logical plan).  It is an ESTIMATE feeding only the salt choice, so a
+    scanned path whose files changed under an unchanged plan returning a
+    stale count is harmless — but a new session must not inherit entries
+    bound to a dead JVM, hence the applicationId in the key."""
     proj = keyed.select(*gnames)
     try:
-        cache_key = proj.semanticHash()
+        cache_key = (keyed.sparkSession.sparkContext.applicationId,
+                     proj.semanticHash())
     except Exception:
         cache_key = None
     if cache_key is not None and cache_key in _GROUP_EST_CACHE:

@@ -9,7 +9,7 @@ Four families, each scale-shaped for Spark:
                    pairs never materialize outside matching blocks)
 * MinHash+LSH  — K md5-min signatures → band keys → bucket join →
                    candidate pairs verified by true Jaccard
-* SimHash      — 64-bit sign-aggregated token hashes, near-dups by
+* SimHash      — 60-bit sign-aggregated token hashes, near-dups by
                    hamming distance within identical high-bit bands
 * embedding    — cosine near-dups within label blocks (see similarity)
 
@@ -18,7 +18,7 @@ Hashes are md5-based so the DuckDB oracle reproduces them bit-exactly.
 
 from __future__ import annotations
 
-from collections import deque
+import weakref
 from typing import List, Optional, Union
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -27,23 +27,48 @@ from pyspark.storagelevel import StorageLevel
 from drain3_spark.pipeline.text import fingerprint_md5, normalize_text
 
 
-#: Catalyst does not reuse exchanges across the branches of these
-#: operators' DAGs, so a subtree consumed by k branches would scan,
-#: explode, and shuffle the corpus k times.  ``_shared()`` persists such
-#: subtrees (MEMORY_AND_DISK: lineage kept, so executor loss recomputes
-#: — unlike localCheckpoint, which would fail the job) and bounds the
-#: session-lifetime cache with a small FIFO so repeated operator calls
-#: cannot leak unbounded block-manager state.
-_SHARED_CACHE: deque = deque()
-_SHARED_CACHE_MAX = 4
+class _SharedScope:
+    """Catalyst does not reuse exchanges across the branches of one
+    query's DAG, so a subtree consumed by k branches would scan, explode,
+    and shuffle the corpus k times.  Operators persist such subtrees
+    (MEMORY_AND_DISK: lineage kept, so executor loss recomputes — unlike
+    localCheckpoint, which would fail the job) in a scope whose lifetime
+    is tied to the RETURNED DataFrame: the result handle holds the only
+    strong reference, and a ``weakref.finalize`` unpersists every shared
+    subtree when the caller drops it.  No global mutable cache — one
+    operator call can never evict a subtree another in-flight call still
+    references.  ``release_shared(result)`` frees eagerly once the
+    caller has materialized what it needs."""
+
+    def __init__(self):
+        self._frames: List[DataFrame] = []
+
+    def share(self, df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._frames.append(df)
+        return df
+
+    def release(self) -> None:
+        frames, self._frames = self._frames, []
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # session already stopped / interpreter shutdown
+
+    def attach(self, result: DataFrame) -> DataFrame:
+        result._drain3_shared_scope = self  # strong ref: lives with the handle
+        weakref.finalize(result, _SharedScope.release, self)
+        return result
 
 
-def _shared(df: DataFrame) -> DataFrame:
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _SHARED_CACHE.append(df)
-    while len(_SHARED_CACHE) > _SHARED_CACHE_MAX:
-        _SHARED_CACHE.popleft().unpersist()
-    return df
+def release_shared(result: DataFrame) -> None:
+    """Eagerly unpersist the shared subtrees backing an operator result
+    (after the consuming action).  A later action on the result or a
+    frame derived from it only recomputes — never wrong."""
+    scope = getattr(result, "_drain3_shared_scope", None)
+    if scope is not None:
+        scope.release()
 
 #: Default document-frequency cap for :func:`jaccard_pairs`.  The cap must
 #: be O(1) in corpus size — posting lists are materialized arrays and each
@@ -116,6 +141,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """
     if df_cap == "auto":
         df_cap = DEFAULT_DF_CAP
+    scope = _SharedScope()
     sh = shingle_rows(df, id_col, text_col, k)
     if block_col:
         blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("_blk"))
@@ -130,7 +156,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         # pair join); without sharing, the corpus scan, shingle explode,
         # and posting-list shuffle all run 3x — at 100 TB that triples
         # the operator's dominant shuffle
-        postings = _shared(postings)
+        postings = scope.share(postings)
         # per-doc shingle counts over the KEPT universe — derived from
         # the postings, so the text is exploded exactly once
         sizes = (postings.select(F.explode("ids").alias("id"))
@@ -147,17 +173,18 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   .groupBy(F.col("p.id_a").alias("id_a"),
                            F.col("p.id_b").alias("id_b"))
                   .agg(F.count(F.lit(1)).alias("n_common")))
-        return (common
-                .join(sizes.select(F.col("id").alias("id_a"),
-                                   F.col("n_sh").alias("n_a")), "id_a")
-                .join(sizes.select(F.col("id").alias("id_b"),
-                                   F.col("n_sh").alias("n_b")), "id_b")
-                .withColumn("jaccard",
-                            F.round(F.col("n_common")
-                                    / (F.col("n_a") + F.col("n_b")
-                                       - F.col("n_common")), 6))
-                .filter(F.col("jaccard") >= threshold)
-                .select("id_a", "id_b", "jaccard"))
+        return scope.attach(
+            common
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("n_sh").alias("n_b")), "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -203,16 +230,18 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
-                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                        num_hashes: int = 16, bands: int = 4,
+                        _scope: Optional[_SharedScope] = None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     Band key = md5 of the band's concatenated minhashes; the bucket join
     shuffles on the band key only — no all-pairs blowup."""
     rows_per_band = num_hashes // bands
+    scope = _scope if _scope is not None else _SharedScope()
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
     # both sides of the bucket self-join read the banded signatures;
     # share so the K-permutation signature aggregation runs once
-    banded = _shared(
+    banded = scope.share(
         sig
         .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
@@ -221,9 +250,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                                        "minhash"))))).alias("band_key")))
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
-    return (a.join(b, ["band", "band_key"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    out = (a.join(b, ["band", "band_key"])
+           .filter(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b").distinct())
+    # standalone call: the result handle owns the scope; nested call
+    # (_scope given): the caller's result owns it
+    return out if _scope is not None else scope.attach(out)
 
 
 def minhash_lsh_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -245,15 +277,16 @@ def minhash_lsh_duplicates(df: DataFrame, id_col: str = "doc_id",
     """
     # the candidate table (minhash + band-join subtree) feeds three
     # branches and the pruned shingles feed three more — share both so
-    # the expensive subtrees materialize once (see _shared)
-    cand = _shared(lsh_candidate_pairs(df, id_col, text_col, k,
-                                       num_hashes, bands))
+    # the expensive subtrees materialize once (see _SharedScope)
+    scope = _SharedScope()
+    cand = scope.share(lsh_candidate_pairs(df, id_col, text_col, k,
+                                           num_hashes, bands, _scope=scope))
     sh = shingle_rows(df, id_col, text_col, k)
 
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
-    sh_c = _shared(sh.join(cand_ids, "id", "left_semi"))
+    sh_c = scope.share(sh.join(cand_ids, "id", "left_semi"))
 
     sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (cand
@@ -262,30 +295,33 @@ def minhash_lsh_duplicates(df: DataFrame, id_col: str = "doc_id",
                     ["id_b", "shingle"])
               .groupBy("id_a", "id_b")
               .agg(F.count(F.lit(1)).alias("n_common")))
-    return (common
-            .join(sizes.select(F.col("id").alias("id_a"),
-                               F.col("n_sh").alias("n_a")), "id_a")
-            .join(sizes.select(F.col("id").alias("id_b"),
-                               F.col("n_sh").alias("n_b")), "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_common")
-                                / (F.col("n_a") + F.col("n_b")
-                                   - F.col("n_common")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    return scope.attach(
+        common
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard",
+                    F.round(F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"))
 
 
 # ------------------------------------------------------------------- simhash
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens: per-bit sign of the sum of
-    (+1/-1) votes from each token's md5 bits.  Explode + aggregate —
-    no UDF, no all-pairs."""
+    """60-bit SimHash over word tokens: per-bit sign of the sum of
+    (+1/-1) votes from each token's md5 bits (60 = 15 hex chars, the
+    widest md5 prefix that converts losslessly to a signed bigint in
+    both Spark and DuckDB — the function name keeps the conventional
+    "simhash64" label).  Explode + aggregate — no UDF, no all-pairs."""
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(F.split(normalize_text(F.col(text_col)), " "))
                       .alias("tok")))
-    # token hash: first 16 hex chars of md5 -> 64 bits (as bigint via conv)
+    # token hash: first 15 hex chars of md5 -> 60 bits (as bigint via conv)
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     bits = toks.select("id", *[
         (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
@@ -304,7 +340,8 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
     distance <= 3."""
     # 4 band projections x 2 self-join sides would evaluate the 60-bit
     # sign aggregation 8x without sharing
-    sim = _shared(simhash64(df, id_col, text_col))
+    scope = _SharedScope()
+    sim = scope.share(simhash64(df, id_col, text_col))
     parts = []
     for band in range(4):
         key = F.shiftright(F.col("simhash"),
@@ -323,6 +360,7 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
     xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     hamming = sum([F.shiftright(xor, i).bitwiseAND(F.lit(1))
                    for i in range(60)], F.lit(0))
-    return (pairs.withColumn("hamming", hamming.cast("int"))
-            .filter(F.col("hamming") <= 3)
-            .select("id_a", "id_b", "hamming"))
+    return scope.attach(
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming"))

@@ -139,25 +139,29 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     Decoders, in order:
 
-    1. Pillow, auto-detected when importable (any format it supports);
-    2. pure-numpy decoders for UNCOMPRESSED formats: binary PPM (P6),
-       PGM (P5), and 24-bit BI_RGB BMP — so the image path is real
-       end-to-end without any media library;
+    1. pure-numpy decoders for UNCOMPRESSED formats dispatched on magic
+       bytes: binary PPM (P6), PGM (P5), and 24-bit BI_RGB BMP — the
+       image path is real end-to-end without any media library, and the
+       output (incl. channel count: PGM stays 1-channel) is identical
+       in every environment;
+    2. Pillow for OTHER formats, auto-detected when importable (any
+       decode error falls through — never a hard failure on a payload
+       the native decoders would also reject);
     3. otherwise ``NotImplementedError``: compressed formats (PNG/JPEG/
        ...) need a codec library this container does not ship — a
        declared stub, same mapInPandas shape either way.
     """
     raw = bytes(payload)
-    try:
-        import io
-        from PIL import Image  # optional dependency, absent here
-        return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
-    except ImportError:
-        pass
     if raw[:2] in (b"P5", b"P6"):
         return _decode_pnm(raw)
     if raw[:2] == b"BM":
         return _decode_bmp(raw)
+    try:
+        import io
+        from PIL import Image  # optional dependency, absent here
+        return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+    except Exception:  # ImportError or a PIL decode error on junk bytes
+        pass
     raise NotImplementedError(
         "compressed image formats require an image library (Pillow); "
         "PPM/PGM/BMP decode natively — or use fake_decoder=True for "

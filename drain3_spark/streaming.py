@@ -19,7 +19,7 @@ batch id as the order prefix.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -123,6 +123,28 @@ def make_batch_processor(store: CheckpointStore,
     return process_batch
 
 
+class StreamingRun(NamedTuple):
+    """Handle returned by :func:`run_streaming`.
+
+    ``query`` is the live ``StreamingQuery`` when the stream is still
+    running (``once=False`` with no ``timeout_sec``) — the caller owns
+    shutdown: ``run.query.stop()`` then ``run.processor.flush(spark)``
+    to commit any cadence-deferred state.  For runs that stopped inside
+    ``run_streaming`` the flush has already happened and ``query`` is
+    the stopped handle."""
+    store: "CheckpointStore"
+    query: object
+    processor: object
+
+    def stop_and_flush(self, spark: SparkSession) -> None:
+        """Stop a still-running query and commit deferred state (no-op on
+        an already-stopped, already-flushed run)."""
+        if self.query.isActive:
+            self.query.stop()
+            self.query.awaitTermination()
+            self.processor.flush(spark)
+
+
 def run_streaming(spark: SparkSession,
                   source_dir: str,
                   schema,
@@ -139,7 +161,9 @@ def run_streaming(spark: SparkSession,
 
     ``once=True`` processes all available input then stops (the batch
     replay shape used in tests); otherwise the query runs until
-    ``timeout_sec``.
+    ``timeout_sec``, or — with no timeout — stays live, and the returned
+    :class:`StreamingRun` carries the query + processor so the caller
+    can shut down and flush (``run.stop_and_flush(spark)``).
     """
     cfg = cfg or EngineConfig()
     engine = ValidationEngine(vcfg or ValidationConfig())
@@ -170,7 +194,7 @@ def run_streaming(spark: SparkSession,
     # thread is live would race process_batch over the shared mem dict
     # and the store (both could commit the same next_id).  A still-
     # running query (once=False, no timeout) keeps ownership; the caller
-    # stops it and calls process_batch.flush itself.
+    # shuts it down via the returned handle (StreamingRun.stop_and_flush).
     if not query.isActive:
         process_batch.flush(spark)
-    return store
+    return StreamingRun(store=store, query=query, processor=process_batch)

@@ -33,7 +33,7 @@ def main():
 
     store = run_streaming(spark, f"{work}/incoming/f_*", clips.schema,
                           state_dir=f"{work}/state", out_dir=f"{work}/out",
-                          cfg=EngineConfig(), max_files_per_trigger=1)
+                          cfg=EngineConfig(), max_files_per_trigger=1).store
     hw, rows, counter, key = store.latest(spark)
     print(f"stream drained: {hw + 1} micro-batches committed, "
           f"{len(rows)} template clusters, counter={counter}")

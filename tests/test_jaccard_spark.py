@@ -40,6 +40,32 @@ def test_jaccard_spark_mining_and_match(spark):
     res.unpersist()
 
 
+def test_q29_kernel_equals_sql_formulation(spark):
+    """q29 grades the Arrow-kernel jaccard match (the measured-fast
+    path); its result must equal the pure-Catalyst broadcast-join
+    formulation aggregated identically over the same corpus."""
+    import os
+
+    import pytest
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    import __spark_entry__ as entry
+    from drain3_spark.operators.matching import match_clusters_sql_jaccard
+
+    kernel = {(r.matched_cluster_id, r.n_docs)
+              for r in entry._q29_jaccard_match(spark, sf).collect()}
+    cfg = EngineConfig(engine="jaccard")
+    clips = entry._docs_as_clips(spark, sf)
+    res = entry._mined(spark, sf, engine="jaccard")
+    sql = {(r.matched_cluster_id, r.n_docs)
+           for r in (match_clusters_sql_jaccard(clips, res.clusters, cfg)
+                     .groupBy("matched_cluster_id")
+                     .agg(F.count(F.lit(1)).alias("n_docs"))).collect()}
+    assert kernel == sql
+    assert len(kernel) > 1
+
+
 def test_jaccard_sql_match_equals_kernel(spark):
     """Bulk SQL jaccard inference (broadcast first-token join +
     array_intersect/union sim, 1.3 gain, 0.8 gate) must match the

@@ -170,6 +170,38 @@ def test_jaccard_df_cap_bounds_hot_shingles(spark):
     assert j <= 1.0 and (100, 101) in uncapped
 
 
+def test_jaccard_default_cap_keeps_recall_on_straddling_pairs(spark):
+    """Evidence for DEFAULT_DF_CAP=256 (the 'rare shingles carry the
+    signal' claim): near-dup pairs whose shared shingles STRADDLE the
+    cap — one shingle hotter than 256 docs (dropped) plus many rare ones
+    (kept) — must be found by the default capped plan exactly as by
+    ``df_cap=None`` at threshold >= 0.7."""
+    common = "alpha beta gamma"
+    rows = [(i, f"{common} filler{i} mid{i} tail{i}") for i in range(280)]
+    pair_ids = []
+    for p in range(4):
+        base = " ".join(f"w{p}x{j}" for j in range(10))
+        a, b = 1000 + 2 * p, 1001 + 2 * p
+        rows += [(a, f"{common} {base}"),
+                 (b, f"{common} {base} extra{p}")]
+        pair_ids.append((a, b))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # the shared head shingle really does exceed the default cap
+    from pyspark.sql import functions as F
+    hot_df = (dedup.shingle_rows(df, k=3)
+              .filter(F.col("shingle") == common).count())
+    assert hot_df > dedup.DEFAULT_DF_CAP
+
+    uncapped = {(r.id_a, r.id_b)
+                for r in dedup.jaccard_pairs(df, k=3, threshold=0.7,
+                                             df_cap=None).collect()}
+    capped = {(r.id_a, r.id_b)
+              for r in dedup.jaccard_pairs(df, k=3, threshold=0.7).collect()}
+    assert set(pair_ids) <= uncapped
+    assert uncapped <= capped, uncapped - capped
+
+
 def test_jaccard_default_is_capped_no_self_join(spark):
     """The signature default must take the inverted-index path: no join
     keyed on the shingle column anywhere in the physical plan, and the

@@ -147,6 +147,60 @@ def test_differential_jaccard_mining(spark):
     res.unpersist()
 
 
+def test_differential_extract_parameters_spark(spark):
+    """Spark-path parameter extraction (match_clusters_sql +
+    extract_params_col) vs the reference's own extract_parameters
+    (template_miner.py:205-249), row-for-row over the full q28
+    events-derived corpus — closes the loop the kernel property tests
+    leave open: the DISTRIBUTED path (Catalyst match, Arrow extract UDF)
+    against the reference, not just the local ParamExtractor."""
+    import __spark_entry__ as entry
+    from drain3_spark.config import MaskRule
+    from drain3_spark.operators.extraction import extract_params_col
+    from pyspark.sql import functions as F
+
+    clips = entry._events_corpus(spark, SF_DIR)
+    rows = clips.orderBy("ds", "clip_id").collect()
+    assert rows, "events corpus is empty"
+
+    install_reference_shims()
+    from drain3.masking import MaskingInstruction
+    from drain3.template_miner import TemplateMiner
+    from drain3.template_miner_config import TemplateMinerConfig
+    rcfg = TemplateMinerConfig()
+    rcfg.masking_instructions = [MaskingInstruction(r"\d+", "NUM")]
+    tm = TemplateMiner(config=rcfg)
+    for r in rows:
+        tm.add_log_message(r.transcript)
+
+    cfg = EngineConfig(mining_mode="exact", mining_salt=1,
+                       masking=[MaskRule(r"\d+", "NUM")])
+    res = mine_templates(clips, cfg)
+    matched = match_clusters_sql(clips, res.clusters, cfg)
+    got = (matched
+           .withColumn("params", extract_params_col(
+               F.col("matched_template"), F.col("transcript"), cfg))
+           .orderBy("ds", "clip_id")
+           .collect())
+
+    n_nonempty = 0
+    for i, (r, g) in enumerate(zip(rows, got)):
+        m = tm.match(r.transcript, full_search_strategy="always")
+        assert m is not None and g.matched_cluster_id == m.cluster_id, i
+        ref_params = tm.extract_parameters(m.get_template(), r.transcript,
+                                           exact_matching=True)
+        want = (None if ref_params is None else
+                [(p.value, p.mask_name) for p in ref_params])
+        have = (None if g.params is None else
+                [(p.value, p.mask_name) for p in g.params])
+        assert have == want, (i, r.transcript)
+        if want:
+            n_nonempty += 1
+    # the corpus must actually exercise extraction, not vacuously agree
+    assert n_nonempty > 0
+    res.unpersist()
+
+
 def test_config_ini_matches_reference_loader(tmp_path):
     """The reference's own example ini parsed by BOTH loaders must yield
     identical drain/masking/snapshot/profiling settings — and the

@@ -23,10 +23,14 @@ def test_streaming_equals_batch(spark, tmp_path):
             .write.mode("overwrite").parquet(f"{src}/f_{ds}")
 
     schema = clips.schema
-    store = run_streaming(
+    run = run_streaming(
         spark, f"{src}/f_*", schema,
         state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "out"),
         cfg=EngineConfig(), validate=True, max_files_per_trigger=1)
+    store = run.store
+    # availableNow run stopped + flushed inside run_streaming; the handle
+    # still exposes query/processor for continuous callers
+    assert not run.query.isActive and callable(run.processor.flush)
     hw, rows, counter, key = store.latest(spark)
     assert hw is not None and key.startswith("stream-")
 
