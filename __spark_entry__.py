@@ -466,14 +466,17 @@ def _q32_video_frames(spark, sf):
 def _q33_streaming_mining(spark, sf):
     """Structured Streaming stateful mining (applyInPandasWithState):
     the documents corpus streamed as micro-batched files through the
-    per-group state-store miner; returns corpus-level aggregates
-    (rows-only: streaming + sequential mining has no SQL oracle; pinned
-    by test_stateful_streaming_miner).  Deterministic: same corpus, same
-    templates, fresh checkpoint per call."""
+    per-group state-store miner, then group-local ids renumbered to the
+    reference's global creation-order ids (rows-only: streaming +
+    sequential mining has no SQL oracle; pinned by
+    test_stateful_streaming_miner and
+    test_stateful_ids_renumber_to_reference_ids).  Deterministic: same
+    corpus, same templates, fresh checkpoint per call."""
     import shutil
     import tempfile
     from drain3_spark.config import EngineConfig
-    from drain3_spark.streaming_stateful import run_stateful_streaming
+    from drain3_spark.streaming_stateful import (renumber_to_reference_ids,
+                                                 run_stateful_streaming)
     from drain3_spark.util import local_df
 
     work = tempfile.mkdtemp(prefix="q33_")
@@ -487,7 +490,7 @@ def _q33_streaming_mining(spark, sf):
         run_stateful_streaming(spark, f"{work}/src", schema,
                                f"{work}/ckpt", f"{work}/out",
                                EngineConfig(), max_files_per_trigger=2)
-        out = spark.read.parquet(f"{work}/out")
+        out = renumber_to_reference_ids(spark.read.parquet(f"{work}/out"))
         agg = (out.agg(F.count(F.lit(1)).alias("n_rows"),
                        F.countDistinct("cluster_id").alias("n_clusters"),
                        F.countDistinct("template_mined").alias("n_templates"))

@@ -14,6 +14,10 @@ Semantics relative to the reference (documented, deterministic):
   a per-group stateful operator cannot coordinate a global creation-order
   counter without a second shuffle; group-local ids are stable across
   restarts because each group's counter lives in its state row.
+  :func:`renumber_to_reference_ids` is the post-pass that maps them to
+  the reference's global creation-order ids (drain3/drain.py:201-202)
+  when the stream delivers rows in (ds, clip_id) order — the same order
+  contract the batch miner and the reference differential use.
 * templates, change types, and per-cluster sizes are exactly the
   kernel's — groups never interact in the reference either.
 
@@ -119,6 +123,37 @@ def stateful_mining_stream(stream_df: DataFrame,
                                     stateStructType=STATE_SCHEMA,
                                     outputMode="append",
                                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def renumber_to_reference_ids(output: DataFrame) -> DataFrame:
+    """Map group-local stateful cluster ids to the reference's GLOBAL
+    creation-order ids (drain3/drain.py:201-202: a monotonic counter
+    incremented once per cluster creation).
+
+    Every cluster's creation is visible in the appended output as its
+    ``change_type == 'cluster_created'`` row, and that creating row is
+    the same row in the stateful and sequential paths (per-group mining
+    is deterministic in row order).  So when micro-batches arrive in
+    (ds, clip_id)-consistent order — the corpus order contract every
+    batch/differential surface already uses — ranking creation events by
+    (ds, clip_id) reproduces the reference counter exactly.  The rank
+    runs over the cluster table only (bounded by max_clusters, one tiny
+    single-partition window), and the id map joins back as a broadcast —
+    the big output table is never shuffled."""
+    created = (output.filter(F.col("change_type") == "cluster_created")
+               .groupBy("cluster_id")
+               .agg(F.min(F.struct("ds", "clip_id")).alias("_first")))
+    from pyspark.sql import Window
+    rank = F.row_number().over(
+        Window.orderBy(F.col("_first.ds"), F.col("_first.clip_id")))
+    idmap = created.select(F.col("cluster_id").alias("_local_id"),
+                           rank.cast("long").alias("_global_id"))
+    return (output
+            .join(F.broadcast(idmap),
+                  output["cluster_id"] == F.col("_local_id"), "left")
+            .withColumn("cluster_id",
+                        F.coalesce(F.col("_global_id"), F.col("cluster_id")))
+            .drop("_local_id", "_global_id"))
 
 
 def run_stateful_streaming(spark: SparkSession,

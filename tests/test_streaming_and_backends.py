@@ -350,6 +350,51 @@ def test_redis_backend_set_get():
     assert load_snapshot_blob(be.load_state())[1] == 9
 
 
+def test_stateful_ids_renumber_to_reference_ids(spark, tmp_path):
+    """The renumbering post-pass maps group-local stateful ids to the
+    reference's GLOBAL creation-order ids: the renumbered stream output
+    must carry exactly the ids jobs.run_incremental (the exact-id
+    foreachBatch-style driver) assigns on the same corpus (reference
+    counter semantics drain3/drain.py:201-202)."""
+    from drain3_spark.jobs import run_incremental
+    from drain3_spark.streaming_stateful import (renumber_to_reference_ids,
+                                                 run_stateful_streaming)
+
+    schema = "ds string, clip_id string, transcript string"
+
+    def batch(ds, lines):
+        rows = [(ds, f"clip-{ds}-{j:08d}", t) for j, t in enumerate(lines)]
+        return spark.createDataFrame(rows, schema)
+
+    # creation order interleaves across token-count groups (3,4,3,2,5,3)
+    # so group-local and global ids genuinely differ
+    b1 = ["alpha beta one", "gamma delta run now", "alpha beta two",
+          "solo omega"]
+    b2 = ["gamma delta run later", "epsilon zeta eta theta iota",
+          "brand new thing"]
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    # two runs against one checkpoint: arrival order ds1 < ds2 is
+    # guaranteed by the stream's own progress, not file mtimes
+    batch("2026-08-01", b1).write.mode("append").parquet(str(src))
+    run_stateful_streaming(spark, str(src), schema, str(ckpt), str(out))
+    batch("2026-08-02", b2).write.mode("append").parquet(str(src))
+    run_stateful_streaming(spark, str(src), schema, str(ckpt), str(out))
+
+    renum = renumber_to_reference_ids(spark.read.parquet(str(out)))
+    got = {r.clip_id: r.cluster_id for r in renum.collect()}
+
+    full = batch("2026-08-01", b1).unionByName(batch("2026-08-02", b2))
+    run_incremental(spark, full, str(tmp_path / "state"), validate=False,
+                    out_dir=str(tmp_path / "batch_out"))
+    want = {r.clip_id: r.cluster_id
+            for r in spark.read.parquet(
+                str(tmp_path / "batch_out" / "assignments")).collect()}
+    assert got == want
+    # the interleaving really happened: ids span creation order 1..5
+    assert sorted(set(got.values())) == [1, 2, 3, 4, 5]
+
+
 def test_stateful_streaming_miner(spark, tmp_path):
     """applyInPandasWithState variant: mining state lives in Spark's
     state store keyed by token count, survives across micro-batches AND
