@@ -326,6 +326,27 @@ def _q30_neardup_blas(spark, sf):
                                  method="blas")
 
 
+def _q34_dedup_groups(spark, sf):
+    """Connected components over embedding near-dup pairs -> dedup
+    groups with keeper selection (the transitive-closure step after any
+    pair finder; hash-min + pointer-jump label propagation)."""
+    from drain3_spark.pipeline.dedup import dedup_groups
+    from drain3_spark.pipeline.similarity import cosine_near_dup_pairs
+    emb = _t(spark, sf, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35, block_col="label")
+    g = dedup_groups(pairs)
+    return g.select(F.col("id").alias("vec_id"), "group_id",
+                    F.col("is_keeper").cast("int").alias("is_keeper"))
+
+
+def _q35_percentiles(spark, sf):
+    """Exact percentile column stats (percentile_cont semantics) per
+    event_type over the events value column."""
+    from drain3_spark.validation.checks import column_percentiles
+    e = _t(spark, sf, "events")
+    return column_percentiles(e, "value", group_cols=("event_type",))
+
+
 def _q23_ivf_ann(spark, sf):
     from drain3_spark.pipeline.similarity import ivf_topk
     emb = _t(spark, sf, "embeddings")
@@ -527,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_embedding_neardup": _q22_embedding_neardup,
         "q23_ivf_ann": _q23_ivf_ann,
         "q30_neardup_blas": _q30_neardup_blas,
+        "q34_dedup_groups": _q34_dedup_groups,
+        "q35_percentiles": _q35_percentiles,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,
@@ -748,6 +771,33 @@ def oracle_sql() -> dict[str, str]:
                      as cosine
             from embeddings, q
             order by cosine desc, vec_id limit 10""",
+        "q34_dedup_groups": """
+            with recursive pairs as (
+              select a.vec_id as id_a, b.vec_id as id_b
+              from embeddings a join embeddings b
+                on a.label = b.label and a.vec_id < b.vec_id
+              where list_cosine_similarity(a.embedding::double[],
+                                           b.embedding::double[]) >= 0.35),
+            und as (select id_a as u, id_b as v from pairs
+                    union all
+                    select id_b as u, id_a as v from pairs),
+            reach(u, v) as (
+              select u, v from und
+              union
+              select r.u, e.v from reach r join und e on r.v = e.u),
+            grp as (select u, least(u, min(v)) as group_id
+                    from reach group by u)
+            select cast(u as bigint) as vec_id,
+                   cast(group_id as bigint) as group_id,
+                   cast(case when u = group_id then 1 else 0 end as int)
+                     as is_keeper
+            from grp""",
+        "q35_percentiles": """
+            select event_type,
+                   round(quantile_cont(value, 0.5), 6) as p50,
+                   round(quantile_cont(value, 0.9), 6) as p90,
+                   round(quantile_cont(value, 0.99), 6) as p99
+            from events group by event_type""",
         "q22_embedding_neardup": """
             select a.vec_id as id_a, b.vec_id as id_b,
                    round(list_cosine_similarity(a.embedding::double[],

@@ -314,6 +314,85 @@ def minhash_lsh_duplicates(df: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b", "jaccard"))
 
 
+# ------------------------------------------------- connected components
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair list: returns
+    ``(id, group_id)`` for every id that appears in some pair, where
+    ``group_id`` is the smallest id in the component — the keeper a
+    dedup pass retains while dropping the rest.
+
+    This is the step that turns PAIRS (jaccard/minhash/simhash/embedding
+    near-dups) into actionable dedup GROUPS: near-duplication is not
+    transitive, so a pair list alone over-keeps (A~B, B~C with A!~C must
+    still collapse to one keeper, the standard min-hash-dedup practice).
+
+    Algorithm: hash-min label propagation with pointer jumping — each
+    iteration (a) takes the min label across edges (one shuffle on the
+    edge key), (b) replaces every label by its label's label (one
+    self-join), which doubles the distance information travels, so
+    convergence is O(log(diameter)) iterations, not O(diameter).  All
+    per-iteration state is (id, label) — never materialized pairs — and
+    each iteration persists its labels and unpersists the previous
+    generation, so lineage and storage stay O(1) in iteration count.
+    Near-dup components are small and dense in practice; typical corpora
+    converge in 2-4 iterations.
+    """
+    edges = pairs.select(F.col(id_a).cast("long").alias("u"),
+                         F.col(id_b).cast("long").alias("v"))
+    und = (edges.unionByName(edges.select(F.col("v").alias("u"),
+                                          F.col("u").alias("v")))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+
+    # init: own id min'd with direct neighbors (first propagation free)
+    labels = (und.groupBy("u")
+              .agg(F.least(F.min("v"), F.col("u")).alias("lbl"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+
+    for _ in range(max_iter):
+        # (a) min label over each node's neighborhood
+        nbr = (und.join(labels.select(F.col("u").alias("v"),
+                                      F.col("lbl").alias("nlbl")), "v")
+               .groupBy("u").agg(F.min("nlbl").alias("nlbl")))
+        prop = (labels.join(nbr, "u", "left")
+                .select("u", F.least("lbl", F.coalesce("nlbl", "lbl"))
+                        .alias("lbl")))
+        # (b) pointer jump: label <- label's label (labels are ids, so
+        # the label table itself is the pointer table)
+        ptr = prop.select(F.col("u").alias("_l"), F.col("lbl").alias("_j"))
+        jumped = (prop.join(ptr, F.col("lbl") == F.col("_l"), "left")
+                  .select("u", F.least("lbl", F.coalesce("_j", "lbl"))
+                          .alias("lbl"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (jumped.join(labels.withColumnRenamed("lbl", "_old"), "u")
+                   .filter(F.col("lbl") != F.col("_old")).count())
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+
+    und.unpersist()
+    out = labels.select(F.col("u").alias("id"), F.col("lbl").alias("group_id"))
+    # labels stays persisted for the caller's consumption; tie cleanup
+    # to the returned handle like the other shared subtrees (persist on
+    # the already-persisted frame is a no-op)
+    scope = _SharedScope()
+    scope.share(labels)
+    return scope.attach(out)
+
+
+def dedup_groups(pairs: DataFrame, id_a: str = "id_a",
+                 id_b: str = "id_b") -> DataFrame:
+    """Dedup decision table from a near-dup pair list: one row per
+    involved id — ``(id, group_id, is_keeper)``; downstream drops rows
+    where ``is_keeper`` is false.  Built on
+    :func:`connected_components`."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.withColumn("is_keeper", F.col("id") == F.col("group_id"))
+
+
 # ------------------------------------------------------------------- simhash
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",

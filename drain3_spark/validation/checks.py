@@ -191,6 +191,23 @@ def column_stats(clips: DataFrame) -> DataFrame:
     ))
 
 
+def column_percentiles(df: DataFrame, value_col: str,
+                       group_cols=("ds",),
+                       percentiles=(0.5, 0.9, 0.99)) -> DataFrame:
+    """EXACT percentiles per group (linear interpolation — the same
+    definition as ANSI ``percentile_cont``), extending SURVEY.md C2's
+    column stats with distribution shape: a null-rate/min/max pass
+    misses a duration column whose p99 silently doubled.
+
+    Uses Spark's exact ``percentile`` aggregate (sort-based within the
+    hash aggregation, one shuffle on the group key).  At 10^12 rows per
+    group, swap for ``approx_percentile`` with a bounded error — same
+    call shape, sketch-mergeable, no sort."""
+    aggs = [F.round(F.percentile(value_col, F.lit(p)), 6)
+            .alias(f"p{int(p * 100)}") for p in percentiles]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
 def codec_histogram(clips: DataFrame) -> DataFrame:
     """(ds, codec) frequency contingency table — the chi-square input."""
     return clips.groupBy("ds", "codec").agg(F.count(F.lit(1)).alias("n"))

@@ -170,6 +170,26 @@ def test_jaccard_df_cap_bounds_hot_shingles(spark):
     assert j <= 1.0 and (100, 101) in uncapped
 
 
+def test_connected_components_and_dedup_groups(spark):
+    """Hash-min + pointer-jump components: a long path (worst diameter),
+    a star, an isolated pair, and a cycle all collapse to min-id groups;
+    keepers are exactly the component minima."""
+    edges = ([(i, i + 1) for i in range(10, 18)]       # path 10..18
+             + [(30, 31), (30, 32), (30, 33)]          # star at 30
+             + [(40, 41)]                              # pair
+             + [(50, 51), (51, 52), (52, 50)])         # cycle
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.group_id
+           for r in dedup.connected_components(pairs).collect()}
+    want = {**{i: 10 for i in range(10, 19)},
+            **{i: 30 for i in (30, 31, 32, 33)},
+            40: 40, 41: 40, 50: 50, 51: 50, 52: 50}
+    assert got == want
+    keepers = {r.id for r in dedup.dedup_groups(pairs)
+               .filter("is_keeper").collect()}
+    assert keepers == {10, 30, 40, 50}
+
+
 def test_jaccard_default_cap_keeps_recall_on_straddling_pairs(spark):
     """Evidence for DEFAULT_DF_CAP=256 (the 'rare shingles carry the
     signal' claim): near-dup pairs whose shared shingles STRADDLE the
