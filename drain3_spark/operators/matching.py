@@ -158,6 +158,9 @@ def match_clusters_sql(df: DataFrame,
     """
     assert strategy in ("never", "fallback", "always")
     spark = df.sparkSession
+    # no widen_small_scan (measured neutral): the per-row work here is
+    # whole-stage-codegen'd and cheap per row — unlike the kernel-UDF
+    # and HOF-lambda paths below, a one-task stage isn't the bottleneck
     w = cfg.param_str
     bank = _bank_from_clusters(clusters, cfg)
     scan_rows, leaf_rows, parent_rows = _tree_tables(bank)
@@ -261,6 +264,10 @@ def match_clusters_sql_jaccard(df: DataFrame,
     The drain-engine SQL path is less affected (smaller per-token-count
     candidate fan-out).
     """
+    from drain3_spark.util import widen_small_scan
+    # the scoring lambdas below run INTERPRETED (see performance note):
+    # on a one-partition scan they would all run on a single task
+    df = widen_small_scan(df)
     w = cfg.param_str
     required = 0.8  # drain3/jaccard_drain.py:209
     masked = mask_col(F.col(content_col), cfg.masking, cfg.mask_prefix, cfg.mask_suffix)
@@ -356,7 +363,11 @@ def match_clusters(df: DataFrame,
     assert strategy in ("never", "fallback", "always")
     spark = df.sparkSession
     from drain3_spark.shipping import ship_package
+    from drain3_spark.util import widen_small_scan
     ship_package(spark)
+    # one scan partition would mean ONE match-UDF task while 31 cores
+    # idle (measured 2.6-2.9s -> 0.7-1.4s at sf0.1 local[32])
+    df = widen_small_scan(df)
     bc = spark.sparkContext.broadcast(list(cluster_rows))
     kw = dict(sim_th=cfg.sim_th, depth=cfg.depth, max_children=cfg.max_children,
               max_clusters=None, param_str=cfg.param_str,

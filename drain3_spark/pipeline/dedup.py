@@ -100,6 +100,7 @@ def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """(id, shingle) rows: distinct k-gram word shingles of the
     normalized text.  Documents shorter than k words contribute their
     whole text as a single shingle."""
+    from drain3_spark.util import widen_small_scan
     toks = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(toks)
     shingles = F.when(
@@ -107,8 +108,10 @@ def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.transform(F.sequence(F.lit(1), n - k + 1),
                     lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(shingles)).alias("shingle")))
+    # normalize+explode are pre-shuffle; widen a one-partition scan
+    return (widen_small_scan(df)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(shingles)).alias("shingle")))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -402,9 +405,11 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     widest md5 prefix that converts losslessly to a signed bigint in
     both Spark and DuckDB — the function name keeps the conventional
     "simhash64" label).  Explode + aggregate — no UDF, no all-pairs."""
-    toks = (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.split(normalize_text(F.col(text_col)), " "))
-                      .alias("tok")))
+    from drain3_spark.util import widen_small_scan
+    toks = (widen_small_scan(df)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.split(normalize_text(F.col(text_col)), " "))
+                    .alias("tok")))
     # token hash: first 15 hex chars of md5 -> 60 bits (as bigint via conv)
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     bits = toks.select("id", *[

@@ -28,3 +28,31 @@ def local_df(spark: SparkSession, rows: Sequence[tuple],
     # object dtype keeps None as None (no NaN coercion); Spark casts
     # per-column to the declared schema during Arrow conversion
     return spark.createDataFrame(pdf, schema=schema)
+
+
+def widen_small_scan(df: DataFrame, min_parts: int = None) -> DataFrame:
+    """Repartition an input whose scan plans NARROWER than the session's
+    parallelism — and only then.
+
+    A small input (one file, or one parquet row group) scans as a single
+    partition, which serializes every pre-shuffle expression — regex
+    masking, shingle explodes, Arrow match UDFs — onto one task while
+    the other cores idle (measured: q15's posting aggregation spent
+    4-8s in a one-task stage at sf0.1).  File-split settings can't fix
+    it: a single-row-group parquet file is indivisible no matter how
+    ``maxPartitionBytes``/``minPartitionNum`` are tuned.
+
+    At production scale (files >> cores) the partition count already
+    exceeds the target and this returns the input UNCHANGED — no shuffle
+    is ever added where it would cost something.  The round-robin
+    shuffle it does add on small inputs moves only the small input
+    itself.  Operators that consume this remain order-insensitive
+    (mining sorts per group on the order key; set/count aggregations are
+    partition-invariant), so results are identical either way."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df  # e.g. streaming DataFrames: no static partitioning
+    return df.repartition(target) if n < target else df
