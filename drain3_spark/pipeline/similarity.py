@@ -40,8 +40,11 @@ def _vec_lit(vec: Sequence[float]) -> Column:
 def cosine_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Brute-force cosine top-k against a literal query vector."""
+    from drain3_spark.util import widen_small_scan
     q = _vec_lit(query)
-    return (embeddings
+    # per-row HOF cosine is interpreted — don't let a one-partition
+    # scan serialize the whole corpus onto one task (no-op at scale)
+    return (widen_small_scan(embeddings)
             .select(F.col(id_col),
                     F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 6)
                     .alias("cosine"))
@@ -185,6 +188,11 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
 
         return e.groupBy("blk").applyInPandas(block_pairs, out_schema)
 
+    # the per-pair cosine below is a HOF expression (interpreted, see
+    # PLANS.md): widen the probe side so a one-partition scan doesn't
+    # serialize every pair's dot product onto a single task
+    from drain3_spark.util import widen_small_scan
+    e = widen_small_scan(e)
     a = e.select(F.col("id").alias("id_a"), "blk", F.col("vec").alias("vec_a"))
     b = e.select(F.col("id").alias("id_b"), F.col("blk").alias("blk_b"),
                  F.col("vec").alias("vec_b"))

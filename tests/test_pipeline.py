@@ -190,6 +190,36 @@ def test_connected_components_and_dedup_groups(spark):
     assert keepers == {10, 30, 40, 50}
 
 
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized (seeded) graph: the distributed label propagation must
+    agree with a sequential union-find on every node."""
+    import numpy as np
+    rng = np.random.RandomState(4242)
+    n = 300
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(400, 2))
+             if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    involved = {v for e in edges for v in e}
+    want = {v: find(v) for v in involved}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.group_id
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == want
+
+
 def test_jaccard_default_cap_keeps_recall_on_straddling_pairs(spark):
     """Evidence for DEFAULT_DF_CAP=256 (the 'rare shingles carry the
     signal' claim): near-dup pairs whose shared shingles STRADDLE the
