@@ -506,11 +506,17 @@ def _q33_streaming_mining(spark, sf):
         # shift with partition layout, and mining is order-sensitive
         clips = (_docs_as_clips(spark, sf)
                  .orderBy("ds", "clip_id").limit(1000))
-        clips.repartition(4).write.mode("overwrite").parquet(f"{work}/src")
+        # one file per ds, written in ds order: micro-batch arrival then
+        # respects (ds, clip_id) — the order contract under which the
+        # renumbered ids equal the sequential reference's (see
+        # renumber_to_reference_ids)
+        for ds in sorted(r.ds for r in clips.select("ds").distinct().collect()):
+            (clips.filter(F.col("ds") == ds).coalesce(1)
+             .write.mode("overwrite").parquet(f"{work}/src/f_{ds}"))
         schema = "ds string, clip_id string, transcript string"
-        run_stateful_streaming(spark, f"{work}/src", schema,
+        run_stateful_streaming(spark, f"{work}/src/f_*", schema,
                                f"{work}/ckpt", f"{work}/out",
-                               EngineConfig(), max_files_per_trigger=2)
+                               EngineConfig(), max_files_per_trigger=1)
         out = renumber_to_reference_ids(spark.read.parquet(f"{work}/out"))
         agg = (out.agg(F.count(F.lit(1)).alias("n_rows"),
                        F.countDistinct("cluster_id").alias("n_clusters"),

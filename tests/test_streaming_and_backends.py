@@ -395,6 +395,44 @@ def test_stateful_ids_renumber_to_reference_ids(spark, tmp_path):
     assert sorted(set(got.values())) == [1, 2, 3, 4, 5]
 
 
+def test_stateful_ids_match_batch_on_documents_corpus(spark, tmp_path):
+    """Corpus-level pin for the q33 claim: stateful streaming over the
+    real documents corpus (per-ds files, ds-ordered arrival), renumbered
+    to reference ids, carries EXACTLY the batch miner's cluster ids and
+    templates for every clip."""
+    import os
+
+    import pytest
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    import __spark_entry__ as entry
+    from drain3_spark.operators.mining import mine_templates
+    from drain3_spark.streaming_stateful import (renumber_to_reference_ids,
+                                                 run_stateful_streaming)
+
+    clips = (entry._docs_as_clips(spark, sf)
+             .orderBy("ds", "clip_id").limit(600).cache())
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    for ds in sorted(r.ds for r in clips.select("ds").distinct().collect()):
+        (clips.filter(F.col("ds") == ds).coalesce(1)
+         .write.mode("overwrite").parquet(f"{src}/f_{ds}"))
+    schema = "ds string, clip_id string, transcript string"
+    run_stateful_streaming(spark, f"{src}/f_*", schema, str(ckpt), str(out),
+                           EngineConfig(), max_files_per_trigger=1)
+    renum = renumber_to_reference_ids(spark.read.parquet(str(out)))
+    got = {r.clip_id: (r.cluster_id, r.template_mined)
+           for r in renum.collect()}
+
+    res = mine_templates(clips, EngineConfig(mining_salt=1))
+    want = {r.clip_id: (r.cluster_id, r.template_mined)
+            for r in res.assignments.collect()}
+    assert got == want
+    assert len(got) == clips.count() >= 500
+    res.unpersist()
+    clips.unpersist()
+
+
 def test_stateful_streaming_miner(spark, tmp_path):
     """applyInPandasWithState variant: mining state lives in Spark's
     state store keyed by token count, survives across micro-batches AND
