@@ -76,7 +76,8 @@ def main() -> None:
                 "q6_mine_templates", "q7_match_inference", "q12_drift_chisq",
                 "q13_drift_ks", "q15_jaccard_pairs", "q18_simhash",
                 "q21_ann_cosine", "q22_embedding_neardup", "q26_jaccard_mining",
-                "q29_jaccard_match", "q30_neardup_blas"]
+                "q29_jaccard_match", "q30_neardup_blas",
+                "q34_dedup_groups", "q35_percentiles"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
