@@ -339,6 +339,20 @@ def _q34_dedup_groups(spark, sf):
                     F.col("is_keeper").cast("int").alias("is_keeper"))
 
 
+def _q36_incremental_dedup(spark, sf):
+    """Incremental LSH dedup: a new ingest batch (doc_id % 5 == 0)
+    against the existing corpus's precomputed band index, exact-verified
+    over candidate docs only — per-batch cost O(batch + candidates),
+    never O(corpus)."""
+    from drain3_spark.pipeline.dedup import (lsh_incremental_duplicates,
+                                             minhash_band_index)
+    d = _t(spark, sf, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    index = minhash_band_index(corpus)
+    return lsh_incremental_duplicates(new, corpus, index=index, threshold=0.3)
+
+
 def _q35_percentiles(spark, sf):
     """Exact percentile column stats (percentile_cont semantics) per
     event_type over the events value column."""
@@ -556,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_neardup_blas": _q30_neardup_blas,
         "q34_dedup_groups": _q34_dedup_groups,
         "q35_percentiles": _q35_percentiles,
+        "q36_incremental_dedup": _q36_incremental_dedup,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,
@@ -804,6 +819,40 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) as p90,
                    round(quantile_cont(value, 0.99), 6) as p99
             from events group by event_type""",
+        "q36_incremental_dedup": f"""
+            with {_SHINGLES},
+            seeds as (select unnest(generate_series(0, 15)) as seed),
+            sig as (
+              select sh.doc_id, seeds.seed,
+                     min(md5(sh.shingle || '#' || seeds.seed::varchar))
+                       as minhash
+              from sh cross join seeds group by 1, 2),
+            banded as (
+              select doc_id, seed // 4 as band,
+                     md5(string_agg(seed::varchar || ':' || minhash, '|'
+                         order by seed::varchar || ':' || minhash))
+                       as band_key
+              from sig group by 1, 2),
+            cand as (
+              select n.doc_id as new_id, o.doc_id as old_id
+              from banded n
+              join banded o on n.band = o.band and n.band_key = o.band_key
+              where n.doc_id % 5 = 0 and o.doc_id % 5 != 0
+              group by 1, 2),
+            sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+            common as (
+              select c.new_id, c.old_id, count(*) as n_common
+              from cand c
+              join sh a on a.doc_id = c.new_id
+              join sh b on b.doc_id = c.old_id and b.shingle = a.shingle
+              group by 1, 2)
+            select new_id, old_id,
+                   round(n_common * 1.0 / (sn.n_sh + so.n_sh - n_common), 6)
+                     as jaccard
+            from common
+            join sizes sn on sn.doc_id = new_id
+            join sizes so on so.doc_id = old_id
+            where n_common * 1.0 / (sn.n_sh + so.n_sh - n_common) >= 0.3""",
         "q22_embedding_neardup": """
             select a.vec_id as id_a, b.vec_id as id_b,
                    round(list_cosine_similarity(a.embedding::double[],

@@ -236,6 +236,28 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                  .alias("minhash")))
 
 
+def minhash_band_index(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """``(id, band, band_key)`` LSH index rows: band key = md5 of the
+    band's concatenated (seed, minhash) pairs.
+
+    This is the PERSISTED ASSET of an incremental dedup pipeline: write
+    it once per corpus (it is tiny next to the text — ``bands`` rows per
+    document), then each new ingest batch joins its own banded
+    signatures against the stored index
+    (:func:`lsh_incremental_duplicates`) instead of re-reading and
+    re-shingling the whole corpus."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    return (sig
+            .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+            .groupBy("id", "band")
+            .agg(F.md5(F.concat_ws("|", F.array_sort(
+                F.collect_list(F.concat_ws(":", F.col("seed").cast("string"),
+                                           "minhash"))))).alias("band_key")))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         num_hashes: int = 16, bands: int = 4,
@@ -244,18 +266,11 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
     Band key = md5 of the band's concatenated minhashes; the bucket join
     shuffles on the band key only — no all-pairs blowup."""
-    rows_per_band = num_hashes // bands
     scope = _scope if _scope is not None else _SharedScope()
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
     # both sides of the bucket self-join read the banded signatures;
     # share so the K-permutation signature aggregation runs once
     banded = scope.share(
-        sig
-        .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(
-            F.collect_list(F.concat_ws(":", F.col("seed").cast("string"),
-                                       "minhash"))))).alias("band_key")))
+        minhash_band_index(df, id_col, text_col, k, num_hashes, bands))
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     out = (a.join(b, ["band", "band_key"])
@@ -315,6 +330,71 @@ def minhash_lsh_duplicates(df: DataFrame, id_col: str = "doc_id",
                                - F.col("n_common")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"))
+
+
+def lsh_incremental_duplicates(new_df: DataFrame, corpus_df: DataFrame,
+                               index: Optional[DataFrame] = None,
+                               id_col: str = "doc_id", text_col: str = "text",
+                               k: int = 3, num_hashes: int = 16,
+                               bands: int = 4,
+                               threshold: float = 0.7) -> DataFrame:
+    """Near-duplicates of a NEW ingest batch against an EXISTING corpus —
+    the incremental shape a continuously-growing training corpus needs:
+    per batch, the corpus is touched only through (a) its precomputed
+    band INDEX (:func:`minhash_band_index`, ``bands`` tiny rows per
+    document — pass the stored table via ``index``; it is recomputed
+    from ``corpus_df`` only if omitted) and (b) the TEXT of candidate
+    documents, fetched by a semi-join.  Per-batch cost is
+    O(new_batch + candidates), never O(corpus): no corpus re-shingle,
+    no corpus-wide shuffle.
+
+    Returns ``(new_id, old_id, jaccard)`` with exact k-gram Jaccard
+    (full shingle universe of the involved documents), ``jaccard >=
+    threshold`` — the same verify semantics as
+    :func:`minhash_lsh_duplicates`, candidate-bounded end to end.
+    """
+    scope = _SharedScope()
+    if index is None:
+        index = minhash_band_index(corpus_df, id_col, text_col, k,
+                                   num_hashes, bands)
+    new_banded = scope.share(minhash_band_index(new_df, id_col, text_col, k,
+                                                num_hashes, bands))
+    cand = scope.share(
+        new_banded.select(F.col("id").alias("new_id"), "band", "band_key")
+        .join(index.select(F.col("id").alias("old_id"), "band", "band_key"),
+              ["band", "band_key"])
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id").distinct())
+
+    # exact verify over the candidates only: shingle the new batch and
+    # JUST the candidate corpus docs (semi-join prunes the corpus scan
+    # to candidate ids — with id-partitioned/bucketed storage this is a
+    # pruned read, not a full scan)
+    new_ids = cand.select(F.col("new_id").alias("id")).distinct()
+    old_ids = cand.select(F.col("old_id").alias("id")).distinct()
+    sh_new = scope.share(shingle_rows(new_df, id_col, text_col, k)
+                         .join(new_ids, "id", "left_semi"))
+    sh_old = scope.share(shingle_rows(corpus_df, id_col, text_col, k)
+                         .join(old_ids, "id", "left_semi"))
+    sizes_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n_new"))
+    sizes_old = sh_old.groupBy("id").agg(F.count(F.lit(1)).alias("n_old"))
+    common = (cand
+              .join(sh_new.select(F.col("id").alias("new_id"), "shingle"),
+                    "new_id")
+              .join(sh_old.select(F.col("id").alias("old_id"), "shingle"),
+                    ["old_id", "shingle"])
+              .groupBy("new_id", "old_id")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return scope.attach(
+        common
+        .join(sizes_new.select(F.col("id").alias("new_id"), "n_new"), "new_id")
+        .join(sizes_old.select(F.col("id").alias("old_id"), "n_old"), "old_id")
+        .withColumn("jaccard",
+                    F.round(F.col("n_common")
+                            / (F.col("n_new") + F.col("n_old")
+                               - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard"))
 
 
 # ------------------------------------------------- connected components

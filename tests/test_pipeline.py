@@ -170,6 +170,48 @@ def test_jaccard_df_cap_bounds_hot_shingles(spark):
     assert j <= 1.0 and (100, 101) in uncapped
 
 
+def test_lsh_incremental_equals_full_cross_pairs(spark):
+    """Incremental dedup (new batch vs corpus index) must find exactly
+    the full-corpus LSH pairs that cross the batch/corpus split, with
+    identical exact-verified jaccard — whether the index is precomputed
+    or derived in-call."""
+    rows = [(i, f"background doc {i} with its own words w{i}a w{i}b w{i}c")
+            for i in range(20)]
+    # planted near-dups crossing the split (ids 100/101, 110/111: one
+    # even=new, one odd=corpus) and one inside the corpus (201/203)
+    rows += [(100, "the quick brown fox jumps over the lazy dog tonight"),
+             (101, "the quick brown fox jumps over the lazy dog today"),
+             (110, "pack my box with five dozen liquor jugs right now"),
+             (111, "pack my box with five dozen liquor jugs right here"),
+             (201, "sphinx of black quartz judge my vow immediately ok"),
+             (203, "sphinx of black quartz judge my vow immediately no")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.filter("doc_id % 2 = 0")
+    corpus = df.filter("doc_id % 2 = 1")
+
+    full = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.jaccard
+            for r in dedup.minhash_lsh_duplicates(df, threshold=0.5).collect()}
+    new_ids = {r[0] for r in rows if r[0] % 2 == 0}
+    want = {}
+    for (a, b), j in full.items():
+        if (a in new_ids) != (b in new_ids):
+            n, o = (a, b) if a in new_ids else (b, a)
+            want[(n, o)] = j
+    assert (100, 101) in want and (110, 111) in want
+    assert (201, 203) not in want          # corpus-internal: out of scope
+
+    inc = {(r.new_id, r.old_id): r.jaccard
+           for r in dedup.lsh_incremental_duplicates(
+               new, corpus, threshold=0.5).collect()}
+    assert inc == want
+
+    idx = dedup.minhash_band_index(corpus)
+    inc2 = {(r.new_id, r.old_id): r.jaccard
+            for r in dedup.lsh_incremental_duplicates(
+                new, corpus, index=idx, threshold=0.5).collect()}
+    assert inc2 == want
+
+
 def test_connected_components_and_dedup_groups(spark):
     """Hash-min + pointer-jump components: a long path (worst diameter),
     a star, an isolated pair, and a cycle all collapse to min-id groups;
