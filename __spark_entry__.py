@@ -528,9 +528,13 @@ def _q33_streaming_mining(spark, sf):
             (clips.filter(F.col("ds") == ds).coalesce(1)
              .write.mode("overwrite").parquet(f"{work}/src/f_{ds}"))
         schema = "ds string, clip_id string, transcript string"
+        # two ds files per micro-batch: arrival stays a ds-ordered block
+        # sequence (files are mtime-ordered) and each batch's per-group
+        # sort restores (ds, clip_id) within the block, so the order
+        # contract holds while halving per-batch overhead
         run_stateful_streaming(spark, f"{work}/src/f_*", schema,
                                f"{work}/ckpt", f"{work}/out",
-                               EngineConfig(), max_files_per_trigger=1)
+                               EngineConfig(), max_files_per_trigger=2)
         out = renumber_to_reference_ids(spark.read.parquet(f"{work}/out"))
         agg = (out.agg(F.count(F.lit(1)).alias("n_rows"),
                        F.countDistinct("cluster_id").alias("n_clusters"),
