@@ -206,10 +206,19 @@ def test_lsh_incremental_equals_full_cross_pairs(spark):
     assert inc == want
 
     idx = dedup.minhash_band_index(corpus)
-    inc2 = {(r.new_id, r.old_id): r.jaccard
-            for r in dedup.lsh_incremental_duplicates(
-                new, corpus, index=idx, threshold=0.5).collect()}
+    inc_df = dedup.lsh_incremental_duplicates(new, corpus, index=idx,
+                                              threshold=0.5)
+    inc2 = {(r.new_id, r.old_id): r.jaccard for r in inc_df.collect()}
     assert inc2 == want
+
+    # the O(batch + candidates) claim, plan-asserted: every join that
+    # touches a shingle column is keyed on a candidate doc id (the
+    # corpus shingles only exist downstream of the candidate semi-join)
+    plan = inc_df._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Join" in ln and "shingle" in ln:
+            assert ("new_id" in ln or "old_id" in ln
+                    or "id#" in ln or "id_" in ln), ln
 
 
 def test_connected_components_and_dedup_groups(spark):
