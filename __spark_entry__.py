@@ -466,6 +466,24 @@ def _q25_audio_features(spark, sf):
                       F.sum("zero_crossings").alias("total_zc")))
 
 
+def _q37_audio_spectral(spark, sf):
+    """Spectral DSP over decoded clips — dominant frequency, centroid,
+    rolloff, flatness, silence and clipping ratios, pure-numpy rFFT
+    (rows-only: FFT float reductions have no SQL oracle; pinned against
+    known synthesized tones by test_audio_spectral_features)."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.multimodal import audio_spectral_features
+    clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600)
+    feats = audio_spectral_features(clips)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("dominant_freq_hz"), 2).alias("avg_dominant_hz"),
+        F.round(F.avg("centroid_hz"), 2).alias("avg_centroid_hz"),
+        F.round(F.avg("flatness"), 6).alias("avg_flatness"),
+        F.round(F.avg("silence_ratio"), 6).alias("avg_silence"),
+        F.sum((F.col("clipping_ratio") > 0).cast("long")).alias("n_clipped"))
+
+
 def _q31_image_features(spark, sf):
     """Real image decode (pure-numpy PPM/BMP) -> dims + luma histogram +
     nearest-neighbor resize over a deterministic synthetic image corpus
@@ -575,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_dedup_groups": _q34_dedup_groups,
         "q35_percentiles": _q35_percentiles,
         "q36_incremental_dedup": _q36_incremental_dedup,
+        "q37_audio_spectral": _q37_audio_spectral,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,

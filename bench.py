@@ -77,7 +77,8 @@ def main() -> None:
                 "q13_drift_ks", "q15_jaccard_pairs", "q18_simhash",
                 "q21_ann_cosine", "q22_embedding_neardup", "q26_jaccard_mining",
                 "q29_jaccard_match", "q30_neardup_blas",
-                "q34_dedup_groups", "q35_percentiles", "q36_incremental_dedup"]
+                "q34_dedup_groups", "q35_percentiles", "q36_incremental_dedup",
+                "q37_audio_spectral"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

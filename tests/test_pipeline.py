@@ -170,6 +170,42 @@ def test_jaccard_df_cap_bounds_hot_shingles(spark):
     assert j <= 1.0 and (100, 101) in uncapped
 
 
+def test_audio_spectral_features(spark):
+    """Spectral DSP against known signals: the fixture clips are pure
+    sines (+1% noise) at a freq derivable from the clip id, so the
+    dominant frequency must land on the tone within FFT bin resolution;
+    tones are spectrally flat-ZERO and never silent.  A crafted silent
+    clip and an undecodable payload pin the edge rows."""
+    import numpy as np
+    from drain3_spark import fixtures as FX
+    from drain3_spark.audio.codecs import encode
+    from drain3_spark.audio.synth import clip_params
+    from drain3_spark.pipeline.multimodal import audio_spectral_features
+
+    clips = FX.gen_clips(spark, 40, dirty=False, dur_lo=300, dur_hi=600)
+    feats = {r.clip_id: r for r in audio_spectral_features(clips).collect()}
+    assert len(feats) == 40
+    for cid, r in feats.items():
+        p = clip_params(cid, 300, 600)
+        bin_hz = p["sr_hz"] / r.n_samples
+        assert abs(r.dominant_freq_hz - p["freq"]) <= 2 * bin_hz + 1e-9, \
+            (cid, r.dominant_freq_hz, p["freq"])
+        assert r.flatness < 0.1          # tone, not noise
+        assert r.silence_ratio == 0.0    # 0.8 amplitude sine
+        assert r.rolloff_hz >= r.dominant_freq_hz * 0.9
+
+    silent = encode(np.zeros(16000, dtype=np.float32), "pcm_s16le")
+    junk = b"\x01\x02\x03"
+    edge = spark.createDataFrame(
+        [("sil-1", bytearray(silent), 16000, "pcm_s16le"),
+         ("bad-1", bytearray(junk), 16000, "pcm_f32le")],
+        "clip_id string, bytes binary, sr_hz int, codec string")
+    er = {r.clip_id: r for r in audio_spectral_features(edge).collect()}
+    assert er["sil-1"].silence_ratio == 1.0
+    assert er["sil-1"].dominant_freq_hz == 0.0
+    assert er["bad-1"].centroid_hz is None and er["bad-1"].n_samples == 0
+
+
 def test_lsh_incremental_equals_full_cross_pairs(spark):
     """Incremental dedup (new batch vs corpus index) must find exactly
     the full-corpus LSH pairs that cross the batch/corpus split, with
