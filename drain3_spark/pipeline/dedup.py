@@ -3,12 +3,14 @@
 Four families, each scale-shaped for Spark:
 
 * exact        — one hash aggregation on a content fingerprint
-* n-gram Jaccard — explode shingles → self-join within blocks →
-                   count-based Jaccard (the join formulation beats
-                   array-intersection at scale: shuffle is on shingle,
-                   pairs never materialize outside matching blocks)
+* n-gram Jaccard — explode shingles → DF-capped inverted index →
+                   ordered pairs streamed from posting-list tail
+                   slices → count-based Jaccard (no shingle self-join
+                   in the default plan)
 * MinHash+LSH  — K md5-min signatures → band keys → bucket join →
-                   candidate pairs verified by true Jaccard
+                   candidate pairs verified by true Jaccard; the band
+                   index doubles as the INCREMENTAL dedup asset
+                   (new batch vs stored corpus index)
 * SimHash      — 60-bit sign-aggregated token hashes, near-dups by
                    hamming distance within identical high-bit bands
 * embedding    — cosine near-dups within label blocks (see similarity)
@@ -72,11 +74,12 @@ def release_shared(result: DataFrame) -> None:
 
 #: Default document-frequency cap for :func:`jaccard_pairs`.  The cap must
 #: be O(1) in corpus size — posting lists are materialized arrays and each
-#: shingle contributes up to cap² candidate structs — so it cannot grow
-#: with N (a sqrt(N) cap would collect million-id arrays at 10^12 docs).
-#: 256 bounds any one shingle to ≤32k pairs while keeping recall: near-dup
+#: shingle emits up to cap²/2 pair rows — so it cannot grow with N (a
+#: sqrt(N) cap would collect million-id arrays at 10^12 docs).  256
+#: bounds any one shingle to ≤32k pairs while keeping recall: near-dup
 #: pairs share many *rare* shingles, and a shingle appearing in >256
-#: documents carries no near-dup signal (standard DF-filter argument).
+#: documents carries no near-dup signal (standard DF-filter argument;
+#: recall pinned by test_jaccard_default_cap_keeps_recall_on_straddling_pairs).
 DEFAULT_DF_CAP = 256
 
 
