@@ -183,19 +183,29 @@ def test_differential_extract_parameters_spark(spark):
            .orderBy("ds", "clip_id")
            .collect())
 
+    # approximate mode too: the reference's get_parameter_list path
+    # (template_miner.py:188-203) extracts with exact_matching=False
+    got_approx = (matched
+                  .withColumn("params", extract_params_col(
+                      F.col("matched_template"), F.col("transcript"), cfg,
+                      exact_matching=False))
+                  .orderBy("ds", "clip_id")
+                  .collect())
+
     n_nonempty = 0
-    for i, (r, g) in enumerate(zip(rows, got)):
+    for i, (r, g, ga) in enumerate(zip(rows, got, got_approx)):
         m = tm.match(r.transcript, full_search_strategy="always")
         assert m is not None and g.matched_cluster_id == m.cluster_id, i
-        ref_params = tm.extract_parameters(m.get_template(), r.transcript,
-                                           exact_matching=True)
-        want = (None if ref_params is None else
-                [(p.value, p.mask_name) for p in ref_params])
-        have = (None if g.params is None else
-                [(p.value, p.mask_name) for p in g.params])
-        assert have == want, (i, r.transcript)
-        if want:
-            n_nonempty += 1
+        for exact, row in ((True, g), (False, ga)):
+            ref_params = tm.extract_parameters(m.get_template(), r.transcript,
+                                               exact_matching=exact)
+            want = (None if ref_params is None else
+                    [(p.value, p.mask_name) for p in ref_params])
+            have = (None if row.params is None else
+                    [(p.value, p.mask_name) for p in row.params])
+            assert have == want, (i, exact, r.transcript)
+            if want and exact:
+                n_nonempty += 1
     # the corpus must actually exercise extraction, not vacuously agree
     assert n_nonempty > 0
     res.unpersist()
