@@ -326,6 +326,19 @@ def _q30_neardup_blas(spark, sf):
                                  method="blas")
 
 
+def _q38_neardup_auto(spark, sf):
+    """Self-blocking embedding near-dup for UNLABELED corpora: each
+    vector lands in its 2 nearest IVF buckets (multi-probe blocking) and
+    pairs form only within shared buckets — no label column required,
+    pair space bounded by the largest bucket.  Exact oracle: DuckDB
+    replays the deterministic centroid assignment and the probe-set
+    intersection."""
+    from drain3_spark.pipeline.similarity import cosine_near_dup_pairs_auto
+    emb = _t(spark, sf, "embeddings")
+    return cosine_near_dup_pairs_auto(emb, threshold=0.35,
+                                      num_centroids=8, probes=2)
+
+
 def _q34_dedup_groups(spark, sf):
     """Connected components over embedding near-dup pairs -> dedup
     groups with keeper selection (the transitive-closure step after any
@@ -541,10 +554,20 @@ def _q33_streaming_mining(spark, sf):
         # one file per ds, written in ds order: micro-batch arrival then
         # respects (ds, clip_id) — the order contract under which the
         # renumbered ids equal the sequential reference's (see
-        # renumber_to_reference_ids)
-        for ds in sorted(r.ds for r in clips.select("ds").distinct().collect()):
+        # renumber_to_reference_ids).  The file source orders files by
+        # modification time, so each ds dir gets an EXPLICIT strictly
+        # increasing mtime: sequential writes landing in one coarse
+        # mtime granule must not be able to reorder the micro-batches.
+        import time as _time
+        base = _time.time()
+        for j, ds in enumerate(sorted(
+                r.ds for r in clips.select("ds").distinct().collect())):
+            path = f"{work}/src/f_{ds}"
             (clips.filter(F.col("ds") == ds).coalesce(1)
-             .write.mode("overwrite").parquet(f"{work}/src/f_{ds}"))
+             .write.mode("overwrite").parquet(path))
+            for root_, _dirs, files_ in os.walk(path):
+                for fn in files_:
+                    os.utime(os.path.join(root_, fn), (base + j, base + j))
         schema = "ds string, clip_id string, transcript string"
         # two ds files per micro-batch: arrival stays a ds-ordered block
         # sequence (files are mtime-ordered) and each batch's per-group
@@ -592,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_neardup_blas": _q30_neardup_blas,
         "q34_dedup_groups": _q34_dedup_groups,
         "q35_percentiles": _q35_percentiles,
+        "q38_neardup_auto": _q38_neardup_auto,
         "q36_incremental_dedup": _q36_incremental_dedup,
         "q37_audio_spectral": _q37_audio_spectral,
         "q24_audio_validation": _q24_audio_validation,
@@ -820,8 +844,12 @@ def oracle_sql() -> dict[str, str]:
               select a.vec_id as id_a, b.vec_id as id_b
               from embeddings a join embeddings b
                 on a.label = b.label and a.vec_id < b.vec_id
-              where list_cosine_similarity(a.embedding::double[],
-                                           b.embedding::double[]) >= 0.35),
+              -- threshold on the ROUNDED cosine, matching the engine's
+              -- filter semantics (a pair within 5e-7 of the threshold
+              -- must land on the same side in both engines)
+              where round(list_cosine_similarity(a.embedding::double[],
+                                                 b.embedding::double[]), 6)
+                    >= 0.35),
             und as (select id_a as u, id_b as v from pairs
                     union all
                     select id_b as u, id_a as v from pairs),
@@ -882,6 +910,34 @@ def oracle_sql() -> dict[str, str]:
                                                 b.embedding::double[]), 6) as cosine
             from embeddings a join embeddings b
               on a.label = b.label and a.vec_id < b.vec_id
-            where list_cosine_similarity(a.embedding::double[],
-                                         b.embedding::double[]) >= 0.35""",
+            -- ROUNDED threshold = the engine's filter semantics
+            where round(list_cosine_similarity(a.embedding::double[],
+                                               b.embedding::double[]), 6)
+                  >= 0.35""",
+        "q38_neardup_auto": """
+            with cents as (
+              select vec_id as cid, embedding::double[] as cvec
+              from embeddings order by vec_id limit 8),
+            ranked as (
+              select e.vec_id, c.cid,
+                     row_number() over (
+                       partition by e.vec_id
+                       order by list_distance(e.embedding::double[], c.cvec),
+                                c.cid) as rnk
+              from embeddings e cross join cents c),
+            probed as (select vec_id, cid as bucket from ranked where rnk <= 2),
+            cand as (
+              select distinct a.vec_id as id_a, b.vec_id as id_b
+              from probed a
+              join probed b on a.bucket = b.bucket and a.vec_id < b.vec_id)
+            select id_a, id_b,
+                   round(list_cosine_similarity(ea.embedding::double[],
+                                                eb.embedding::double[]), 6)
+                     as cosine
+            from cand
+            join embeddings ea on ea.vec_id = id_a
+            join embeddings eb on eb.vec_id = id_b
+            where round(list_cosine_similarity(ea.embedding::double[],
+                                               eb.embedding::double[]), 6)
+                  >= 0.35""",
     }

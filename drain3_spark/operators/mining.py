@@ -423,13 +423,20 @@ def mine_templates(df: DataFrame,
     else:
         assign_map = id_map
 
+    # change_scope surfaces the documented salted-mode approximation IN
+    # DATA, not just a log line: under auto-salt, per-row change_type /
+    # cluster_size are BANK-LOCAL (the cluster table stays exact and
+    # salt-invariant); downstream consumers filter on scope='global'
+    # when they need reference-exact per-row change semantics
     assignments = (assignments_raw
                    .join(F.broadcast(assign_map), "cluster_ref")
                    .select(*order_cols,
                            "cluster_id",
                            "change_type",
                            F.col("size").alias("cluster_size"),
-                           F.col("template").alias("template_mined")))
+                           F.col("template").alias("template_mined"),
+                           F.lit("bank" if salted else "global")
+                           .alias("change_scope")))
 
     return MiningResult(assignments=assignments, clusters=clusters, raw=folded,
                         prior_max=prior_max, _new_refs=new.select("cluster_ref"),

@@ -20,13 +20,17 @@ Hashes are md5-based so the DuckDB oracle reproduces them bit-exactly.
 
 from __future__ import annotations
 
+import logging
+import time
 import weakref
 from typing import List, Optional, Union
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 from pyspark.storagelevel import StorageLevel
 
 from drain3_spark.pipeline.text import fingerprint_md5, normalize_text
+
+logger = logging.getLogger(__name__)
 
 
 class _SharedScope:
@@ -400,12 +404,40 @@ def lsh_incremental_duplicates(new_df: DataFrame, corpus_df: DataFrame,
         .select("new_id", "old_id", "jaccard"))
 
 
+def update_band_index(index: DataFrame, new_banded: DataFrame,
+                      keeper_ids: Optional[DataFrame] = None) -> DataFrame:
+    """Maintain the persisted LSH band index across ingest batches:
+    append a new batch's band rows (``minhash_band_index(new_df)`` —
+    same ``(id, band, band_key)`` schema) so batch N+1 dedups against
+    batch N without ever re-shingling the corpus.
+
+    ``keeper_ids`` (a one-column DataFrame of accepted ids) restricts
+    the append to documents that SURVIVED dedup — rejected duplicates
+    must not enter the index, or they would keep matching future
+    batches against documents the corpus no longer contains.  The
+    append is a union of tiny band rows (``bands`` per doc); with the
+    index stored partitioned by ``band_key`` prefix this is an
+    append-only write, no rewrite of the existing index.
+
+    Invariant (pinned by
+    ``test_update_band_index_sequential_equals_one_shot``): feeding two
+    sequential batches through ``lsh_incremental_duplicates`` +
+    ``update_band_index`` yields the same index as
+    :func:`minhash_band_index` over the unioned corpus."""
+    nb = new_banded
+    if keeper_ids is not None:
+        keep = keeper_ids.select(F.col(keeper_ids.columns[0]).alias("id"))
+        nb = nb.join(keep, "id", "left_semi")
+    return index.unionByName(nb)
+
+
 # ------------------------------------------------- connected components
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 50,
-                         checkpoint_dir: Optional[str] = None) -> DataFrame:
+                         checkpoint_dir: Optional[str] = None,
+                         stats: Optional[dict] = None) -> DataFrame:
     """Connected components over a near-duplicate pair list: returns
     ``(id, group_id)`` for every id that appears in some pair, where
     ``group_id`` is the smallest id in the component — the keeper a
@@ -423,29 +455,57 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     convergence is O(log(diameter)) iterations, not O(diameter).  All
     per-iteration state is (id, label) — never materialized pairs.
 
+    Ids may be any integer type (normalized to long) or strings
+    (kept as strings — ``clip_id``-style corpora; the algorithm only
+    needs an ordered, equality-joinable id domain, and ``group_id`` is
+    then the lexicographically smallest member).  Mixing the two, or
+    float/complex id types, raises ``TypeError`` up front rather than
+    failing mid-job under ANSI casts.
+
     Each generation's lineage is TRUNCATED by a checkpoint, not just
     persisted: with persist alone the logical plan still chains every
     prior iteration and Catalyst re-analysis grows super-linearly
     (measured: iterations 2.5s -> 2.6 -> 4.7 -> 19.8s at a 651-node
     graph; flat ~1s with truncation).  The standard iterative-algorithm
-    trade: ``checkpoint_dir=None`` (default) uses ``localCheckpoint``
+    trade: a RELIABLE checkpoint (fault-tolerant generations) is used
+    when ``checkpoint_dir`` is given OR the session already has a
+    checkpoint dir configured (``sc.setCheckpointDir`` — the engine
+    drivers set one); otherwise ``localCheckpoint``
     (executor-block-backed; an executor loss fails the job and it
-    retries from scratch); pass a reliable ``checkpoint_dir`` (HDFS/S3)
-    on long cluster runs to make generations fault-tolerant.  Near-dup
-    components are small and dense in practice; typical corpora converge
-    in 2-4 iterations.
+    retries from scratch).  Near-dup components are small and dense in
+    practice; typical corpora converge in 2-4 iterations.
+
+    Exiting via ``max_iter`` without convergence logs a WARNING and
+    sets ``stats["converged"] = False`` — labels may then still span a
+    component non-minimally.  ``stats`` (optional dict) receives
+    ``iterations``, ``converged``, and per-generation wall times.
     """
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        reliable = True
+    else:
+        # inherit a session-level checkpoint dir when one is configured
+        reliable = spark.sparkContext.getCheckpointDir() is not None
 
     def _truncate(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
+        if reliable:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    edges = pairs.select(F.col(id_a).cast("long").alias("u"),
-                         F.col(id_b).cast("long").alias("v"))
+    dt_a = pairs.schema[id_a].dataType
+    dt_b = pairs.schema[id_b].dataType
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if isinstance(dt_a, integral) and isinstance(dt_b, integral):
+        ua, ub = F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    elif isinstance(dt_a, T.StringType) and isinstance(dt_b, T.StringType):
+        ua, ub = F.col(id_a), F.col(id_b)
+    else:
+        raise TypeError(
+            f"connected_components needs matching integer or string id "
+            f"columns; got {id_a}:{dt_a.simpleString()} / "
+            f"{id_b}:{dt_b.simpleString()}")
+    edges = pairs.select(ua.alias("u"), ub.alias("v"))
     und = _truncate(
         edges.unionByName(edges.select(F.col("v").alias("u"),
                                        F.col("u").alias("v"))))
@@ -454,7 +514,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = _truncate(und.groupBy("u")
                        .agg(F.least(F.min("v"), F.col("u")).alias("lbl")))
 
+    converged = False
+    iterations = 0
+    iter_secs: List[float] = []
     for _ in range(max_iter):
+        t0 = time.monotonic()
         # (a) min label over each node's neighborhood
         nbr = (und.join(labels.select(F.col("u").alias("v"),
                                       F.col("lbl").alias("nlbl")), "v")
@@ -474,19 +538,34 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         changed = (jumped.join(labels.withColumnRenamed("lbl", "_old"), "u")
                    .filter(F.col("lbl") != F.col("_old")).count())
         labels = jumped
+        iterations += 1
+        iter_secs.append(time.monotonic() - t0)
         if changed == 0:
+            converged = True
             break
 
+    if not converged:
+        logger.warning(
+            "connected_components exhausted max_iter=%d without converging "
+            "— group labels may be non-minimal; raise max_iter "
+            "(iterations run: %d)", max_iter, iterations)
+    if stats is not None:
+        stats.update(iterations=iterations, converged=converged,
+                     iter_secs=iter_secs)
     return labels.select(F.col("u").alias("id"), F.col("lbl").alias("group_id"))
 
 
 def dedup_groups(pairs: DataFrame, id_a: str = "id_a",
-                 id_b: str = "id_b") -> DataFrame:
+                 id_b: str = "id_b",
+                 checkpoint_dir: Optional[str] = None,
+                 stats: Optional[dict] = None) -> DataFrame:
     """Dedup decision table from a near-dup pair list: one row per
     involved id — ``(id, group_id, is_keeper)``; downstream drops rows
     where ``is_keeper`` is false.  Built on
-    :func:`connected_components`."""
-    cc = connected_components(pairs, id_a, id_b)
+    :func:`connected_components` (``checkpoint_dir``/``stats`` pass
+    through — engine drivers should hand in their reliable state dir)."""
+    cc = connected_components(pairs, id_a, id_b,
+                              checkpoint_dir=checkpoint_dir, stats=stats)
     return cc.withColumn("is_keeper", F.col("id") == F.col("group_id"))
 
 

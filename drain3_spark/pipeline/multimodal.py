@@ -229,12 +229,14 @@ def decode_image(payload: bytes) -> np.ndarray:
        image path is real end-to-end without any media library, and the
        output (incl. channel count: PGM stays 1-channel) is identical
        in every environment;
-    2. Pillow for OTHER formats, auto-detected when importable (any
-       decode error falls through — never a hard failure on a payload
-       the native decoders would also reject);
-    3. otherwise ``NotImplementedError``: compressed formats (PNG/JPEG/
-       ...) need a codec library this container does not ship — a
-       declared stub, same mapInPandas shape either way.
+    2. Pillow for OTHER formats, auto-detected when importable; a
+       genuine Pillow decode failure (corrupt PNG/JPEG, junk bytes) is
+       re-raised CHAINED as ``ValueError`` — it must not masquerade as
+       "Pillow missing" when the library is present;
+    3. ``NotImplementedError`` only when Pillow is genuinely absent:
+       compressed formats (PNG/JPEG/...) need a codec library this
+       container does not ship — a declared stub, same mapInPandas
+       shape either way.
     """
     raw = bytes(payload)
     if raw[:2] in (b"P5", b"P6"):
@@ -242,15 +244,17 @@ def decode_image(payload: bytes) -> np.ndarray:
     if raw[:2] == b"BM":
         return _decode_bmp(raw)
     try:
-        import io
         from PIL import Image  # optional dependency, absent here
+    except ImportError:
+        raise NotImplementedError(
+            "compressed image formats require an image library (Pillow); "
+            "PPM/PGM/BMP decode natively — or use fake_decoder=True for "
+            "plumbing tests") from None
+    import io
+    try:
         return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
-    except Exception:  # ImportError or a PIL decode error on junk bytes
-        pass
-    raise NotImplementedError(
-        "compressed image formats require an image library (Pillow); "
-        "PPM/PGM/BMP decode natively — or use fake_decoder=True for "
-        "plumbing tests")
+    except Exception as exc:
+        raise ValueError(f"Pillow failed to decode payload: {exc}") from exc
 
 
 def _resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

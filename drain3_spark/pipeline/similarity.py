@@ -58,6 +58,18 @@ def cosine_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
 _IVF_LITERAL_MAX = 64
 
 
+def _collect_centroids(embeddings: DataFrame, num_centroids: int,
+                       id_col: str, vec_col: str):
+    """First ``num_centroids`` vectors by id, sorted by centroid id —
+    the deterministic coarse quantizer shared by every IVF operator."""
+    rows = (embeddings.orderBy(id_col).limit(num_centroids)
+            .select(F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).cast("array<double>").alias("cvec"))
+            .collect())
+    rows.sort(key=lambda r: r["centroid_id"])
+    return rows
+
+
 def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
@@ -74,11 +86,7 @@ def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16,
     row blowup at C=1024; at 10^12 rows that Exchange IS the job.)
     Ties break to the lowest centroid id in both paths.
     """
-    cent_rows = (embeddings.orderBy(id_col).limit(num_centroids)
-                 .select(F.col(id_col).alias("centroid_id"),
-                         F.col(vec_col).cast("array<double>").alias("cvec"))
-                 .collect())
-    cent_rows.sort(key=lambda r: r["centroid_id"])
+    cent_rows = _collect_centroids(embeddings, num_centroids, id_col, vec_col)
     e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("vec"))
 
     if len(cent_rows) <= _IVF_LITERAL_MAX:
@@ -117,6 +125,118 @@ def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16,
             yield _pd.Series(cids[_np.argmin(d, axis=1)])
 
     return e.select(id_col, nearest(F.col("vec")).alias("bucket"), "vec")
+
+
+def assign_ivf_buckets_multiprobe(embeddings: DataFrame,
+                                  num_centroids: int = 16, probes: int = 2,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe IVF assignment: each vector lands in its ``probes``
+    NEAREST coarse buckets — ``(id, probe, bucket, vec)``, one row per
+    (vector, probe), still a single narrow pass with zero Exchange
+    (same argument as :func:`assign_ivf_buckets`; the explode is a
+    per-row generator, not a shuffle).
+
+    This is the SELF-BLOCKING layer for unlabeled corpora: with
+    ``probes=1`` a near-dup pair straddling a Voronoi boundary is
+    silently lost; replicating every vector into its second-nearest
+    bucket recovers exactly the boundary-straddling pairs (both members
+    of a close pair have nearly equal distances to their two nearest
+    centroids, so the probe sets intersect).  Index blowup is bounded:
+    ``probes``× rows, never quadratic.  Ties break to the lowest
+    centroid id in both paths, matching the single-probe operator.
+    """
+    cent_rows = _collect_centroids(embeddings, num_centroids, id_col, vec_col)
+    probes = min(probes, len(cent_rows))
+    e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("vec"))
+
+    if len(cent_rows) <= _IVF_LITERAL_MAX:
+        cand = F.array(*[
+            F.struct(F.lit(int(r["centroid_id"])).alias("cid"),
+                     _vec_lit(r["cvec"]).alias("cvec"))
+            for r in cent_rows])
+        scored = F.transform(
+            cand,
+            lambda c: F.struct(
+                F.aggregate(F.zip_with(F.col("vec"), c["cvec"],
+                                       lambda x, y: (x - y) * (x - y)),
+                            F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+                c["cid"].alias("cid")))
+        # struct sort orders by (d, cid) — the first `probes` entries are
+        # the nearest buckets with deterministic low-cid tie-break
+        top = F.slice(F.array_sort(scored), 1, probes)
+        return (e.select(id_col, "vec",
+                         F.posexplode(top).alias("probe", "_s"))
+                .select(id_col, F.col("probe").cast("int").alias("probe"),
+                        F.col("_s")["cid"].alias("bucket"), "vec"))
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    ids = [int(r["centroid_id"]) for r in cent_rows]
+    mat = np.asarray([r["cvec"] for r in cent_rows], dtype=np.float64)
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat, probes))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def nearest_p(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as _np
+        import pandas as _pd
+        cids, cmat, p = bc.value
+        cids = _np.asarray(cids, dtype=_np.int64)
+        cnorm = (cmat * cmat).sum(axis=1)
+        for series in it:
+            X = _np.asarray([list(v) for v in series], dtype=_np.float64)
+            d = cnorm[None, :] - 2.0 * (X @ cmat.T)
+            # argsort is ascending and stable; cids ascend, so equal
+            # distances tie-break to the lowest centroid id
+            idx = _np.argsort(d, axis=1, kind="stable")[:, :p]
+            yield _pd.Series(list(cids[idx]))
+
+    return (e.select(id_col, "vec", nearest_p(F.col("vec")).alias("_b"))
+            .select(id_col, "vec", F.posexplode("_b").alias("probe", "bucket"))
+            .select(id_col, F.col("probe").cast("int").alias("probe"),
+                    "bucket", "vec"))
+
+
+def cosine_near_dup_pairs_auto(embeddings: DataFrame, threshold: float = 0.95,
+                               num_centroids: int = 16, probes: int = 2,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs WITHOUT a label column — the
+    turnkey shape for a real unlabeled 100-TB embedding corpus:
+    :func:`assign_ivf_buckets_multiprobe` supplies the block column,
+    then pairs form only within shared buckets (the pair space is
+    bounded by the largest bucket, never the corpus) and a pair probed
+    into several common buckets is deduplicated by a candidate-bounded
+    ``dropDuplicates`` before the cosine is evaluated once.
+
+    Approximate by construction: a pair whose probe sets are disjoint
+    is missed.  With ``probes=2`` the boundary-straddling pairs that
+    single-probe blocking loses are recovered (measured recall on the
+    fixture corpus is pinned by
+    ``test_auto_near_dup_multiprobe_recall``); the returned cosines are
+    exact and identical to the blocked-brute-force operator, so
+    precision is 1 by construction.
+    """
+    assigned = assign_ivf_buckets_multiprobe(embeddings, num_centroids,
+                                             probes, id_col, vec_col)
+    # the per-pair cosine below is an interpreted HOF expression: widen
+    # a one-partition scan (no-op at scale, see widen_small_scan)
+    from drain3_spark.util import widen_small_scan
+    assigned = widen_small_scan(assigned)
+    a = assigned.select(F.col(id_col).alias("id_a"), "bucket",
+                        F.col("vec").alias("vec_a"))
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col("bucket").alias("bucket_b"),
+                        F.col("vec").alias("vec_b"))
+    cand = (a.join(b, (F.col("bucket") == F.col("bucket_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand
+            .withColumn("cosine",
+                        F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
 
 
 def ivf_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,

@@ -54,6 +54,14 @@ class ValidationConfig:
     drift_alpha: float = 0.05
     with_audio: bool = True
     with_drift: bool = True
+    # drift-cube duration bucketing: the cube is COLLECTED to the
+    # driver, so its dur axis must stay bounded however wide the data's
+    # duration domain grows.  None = auto width
+    # max(1, (hi-lo)//drift_max_buckets); 1 = exact values (the bounded
+    # sandbox domains).  KS on the bucket grid is the standard large-N
+    # approximation — D error is at most one bucket's mass.
+    drift_dur_bucket_ms: Optional[int] = None
+    drift_max_buckets: int = 256
     # declared-schema conformance (SURVEY.md C1): when set, validate()
     # reports column presence/type drift as table-level rows
     expected_schema: Optional[T.StructType] = None
@@ -133,14 +141,23 @@ class ValidationEngine:
         violations = violations.persist()
 
         # ONE aggregation pass feeds rows_scanned AND all three drift
-        # statistics: the (ds, dur_ms, codec, sr_hz) cube is tiny
-        # (bounded value cardinality — dur_ms is bounded, codec and
-        # sr_hz are small domains), everything downstream is
-        # driver-side numpy
+        # statistics: the (ds, dur_bucket, codec, sr_hz) cube is
+        # BOUNDED by construction — dur_ms is bucketed to at most
+        # ~drift_max_buckets in-domain values per ds (codec and sr_hz
+        # are small domains), so the driver collect stays a few hundred
+        # rows per ds at ANY duration cardinality (the 100x design
+        # review: an unbucketed cube scaled linearly with distinct
+        # dur values × ds count).  Everything downstream is driver-side
+        # numpy.
         hist_rows = None
         if cfg.with_drift:
+            lo, hi = cfg.dur_bounds
+            dur_w = cfg.drift_dur_bucket_ms or max(
+                1, (hi - lo) // cfg.drift_max_buckets)
+            dur_b = (F.floor(F.col("dur_ms") / F.lit(dur_w))
+                     * F.lit(dur_w)).cast("long").alias("dur_ms")
             with prof_sec("drift_cube"):
-                hist_rows = (clips.groupBy("ds", "dur_ms", "codec", "sr_hz")
+                hist_rows = (clips.groupBy("ds", dur_b, "codec", "sr_hz")
                              .agg(F.count(F.lit(1)).alias("n")).collect())
             if profiler is not None:
                 profiler.add_samples("drift_cube",
@@ -194,9 +211,12 @@ class ValidationEngine:
             if profiler is not None:
                 profiler.start_section("drift_stats")
             sr_dom = {int(s) for s in cfg.sr_domain}
-            lo, hi = cfg.dur_bounds
+            # bucket-grid-aligned bounds: the bucket holding `lo` starts
+            # at floor(lo/w)*w, and far-out-of-domain defect durations
+            # stay excluded exactly as before
+            lo_b = (lo // dur_w) * dur_w
             ks_hist = [(r["ds"], r["dur_ms"], r["n"]) for r in hist_rows
-                       if r["dur_ms"] is not None and lo <= r["dur_ms"] <= hi]
+                       if r["dur_ms"] is not None and lo_b <= r["dur_ms"] <= hi]
             for rec in ks_drift(None, "dur_ms", cfg.drift_baseline_ds,
                                 cfg.drift_alpha, hist=ks_hist):
                 drift_rows.append((rec["ds"], rec["check"], bool(rec["passed"]),

@@ -43,6 +43,13 @@ def test_salted_equals_unsalted(spark):
     b = {r.clip_id: r.cluster_id for r in base.assignments.collect()}
     s = {r.clip_id: r.cluster_id for r in salt.assignments.collect()}
     assert b == s
+    # the salted approximation is surfaced IN DATA: bank-local
+    # change_type/cluster_size rows carry change_scope='bank', unsalted
+    # rows 'global' (VERDICT r04 #5)
+    assert {r.change_scope for r in salt.assignments
+            .select("change_scope").distinct().collect()} == {"bank"}
+    assert {r.change_scope for r in base.assignments
+            .select("change_scope").distinct().collect()} == {"global"}
     base.unpersist(); salt.unpersist(); df.unpersist()
 
 

@@ -509,3 +509,176 @@ def test_video_frame_sampling_y4m(spark):
 
     with pytest.raises(NotImplementedError):
         list(multimodal.decode_y4m_frames(b"\x00\x00\x01\xba mpeg-ps"))
+
+
+def test_connected_components_string_ids(spark):
+    """String id columns (clip_id-style corpora) work natively — ids are
+    never cast; group_id is the lexicographically smallest member."""
+    edges = [("clip-b", "clip-c"), ("clip-a", "clip-b"),
+             ("clip-x", "clip-y")]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r.id: r.group_id
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {"clip-a": "clip-a", "clip-b": "clip-a",
+                   "clip-c": "clip-a", "clip-x": "clip-x",
+                   "clip-y": "clip-x"}
+    assert dict(dedup.connected_components(pairs).dtypes) == {
+        "id": "string", "group_id": "string"}
+
+
+def test_connected_components_rejects_mixed_id_types(spark):
+    pairs = spark.createDataFrame([(1, "a")], "id_a long, id_b string")
+    with pytest.raises(TypeError, match="integer or string"):
+        dedup.connected_components(pairs)
+
+
+def test_connected_components_checkpoint_dir(spark, tmp_path):
+    """Passing a reliable checkpoint_dir must actually land generations
+    there (fault-tolerant truncation on cluster runs)."""
+    ckpt = str(tmp_path / "cc_ckpt")
+    edges = [(i, i + 1) for i in range(0, 12)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    sc = spark.sparkContext
+    try:
+        stats = {}
+        got = {r.id: r.group_id
+               for r in dedup.connected_components(
+                   pairs, checkpoint_dir=ckpt, stats=stats).collect()}
+        assert got == {i: 0 for i in range(13)}
+        assert stats["converged"] and stats["iterations"] >= 1
+        import os
+        found = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
+        assert found, "no checkpoint files written to the reliable dir"
+    finally:
+        # best-effort unset so later tests keep the localCheckpoint default
+        try:
+            none_obj = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(none_obj)
+        except Exception:
+            pass
+
+
+def test_connected_components_max_iter_warning(spark, caplog):
+    """Exhausting max_iter without convergence must WARN and set
+    stats['converged']=False (ADVICE r04: silent non-convergence)."""
+    import logging
+    # a long path needs several generations; max_iter=1 cannot converge
+    edges = [(i, i + 1) for i in range(0, 40)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats = {}
+    with caplog.at_level(logging.WARNING, logger="drain3_spark.pipeline.dedup"):
+        dedup.connected_components(pairs, max_iter=1, stats=stats).collect()
+    assert stats["converged"] is False
+    assert any("without converging" in r.message for r in caplog.records)
+
+
+def test_connected_components_iterations_logarithmic(spark):
+    """Pointer jumping certifies O(log diameter): a 256-node path (the
+    worst diameter per edge) converges in <= 2*ceil(log2(n)) + 2
+    generations, far below the O(n) a plain hash-min propagation needs."""
+    import math
+    n = 256
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    stats = {}
+    got = {r.id: r.group_id
+           for r in dedup.connected_components(pairs, stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["converged"]
+    assert stats["iterations"] <= 2 * math.ceil(math.log2(n)) + 2, stats
+
+
+def test_update_band_index_sequential_equals_one_shot(spark):
+    """Two ingest batches maintained via update_band_index must leave
+    the stored index identical to minhash_band_index over the unioned
+    corpus — and batch-2 incremental dedup against the maintained index
+    must equal dedup against a freshly built index."""
+    rows0 = [(i, f"base document number {i} with shared words alpha beta")
+             for i in range(20)]
+    rows1 = [(100 + i, f"base document number {i} with shared words alpha beta")
+             for i in range(5)]            # near-dups of corpus docs
+    rows2 = [(200 + i, f"base document number {i} with shared words alpha beta")
+             for i in range(5)]            # near-dups of corpus AND batch-1
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, b1, b2 = mk(rows0), mk(rows1), mk(rows2)
+
+    idx0 = dedup.minhash_band_index(corpus)
+    d1 = dedup.lsh_incremental_duplicates(b1, corpus, index=idx0, threshold=0.5)
+    assert d1.count() > 0
+    idx1 = dedup.update_band_index(idx0, dedup.minhash_band_index(b1))
+
+    # index equivalence: maintained == one-shot over the union
+    union1 = corpus.unionByName(b1)
+    want_idx = {tuple(r) for r in dedup.minhash_band_index(union1).collect()}
+    got_idx = {tuple(r) for r in idx1.collect()}
+    assert got_idx == want_idx
+
+    # batch-2 dedup through the maintained index == through a fresh one
+    got2 = {tuple(r) for r in dedup.lsh_incremental_duplicates(
+        b2, union1, index=idx1, threshold=0.5).collect()}
+    want2 = {tuple(r) for r in dedup.lsh_incremental_duplicates(
+        b2, union1, index=dedup.minhash_band_index(union1),
+        threshold=0.5).collect()}
+    assert got2 == want2 and got2
+    # batch-2 must see batch-1 docs (ids 100+) through the maintained index
+    assert any(r[1] >= 100 for r in got2)
+
+
+def test_update_band_index_keeper_filter(spark):
+    """Rejected duplicates must not enter the maintained index."""
+    corpus = spark.createDataFrame(
+        [(1, "totally unique corpus document one two three")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "accepted new document alpha beta gamma"),
+         (11, "rejected duplicate document delta epsilon zeta")],
+        "doc_id long, text string")
+    keep = spark.createDataFrame([(10,)], "id long")
+    idx = dedup.update_band_index(dedup.minhash_band_index(corpus),
+                                  dedup.minhash_band_index(batch),
+                                  keeper_ids=keep)
+    ids = {r.id for r in idx.select("id").distinct().collect()}
+    assert ids == {1, 10}
+
+
+def test_auto_near_dup_multiprobe_recall(spark):
+    """Self-blocking near-dup (q38): precision 1 vs brute force by
+    construction, and probes=2 must recover boundary-straddling pairs
+    that probes=1 loses — measured recall on a clustered corpus."""
+    rng = np.random.RandomState(38)
+    centers = rng.randn(6, 8) * 4.0
+    rows = []
+    vid = 0
+    # round-robin across clusters so the deterministic coarse quantizer
+    # ("first C vectors by id") spans the space instead of sampling one
+    # blob — the layout a pre-shuffled real corpus has
+    for _ in range(40):
+        for c in range(6):
+            v = centers[c] + rng.randn(8) * 0.35
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    embd = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    th = 0.97
+    # ground truth: full all-pairs cosine over the 240 vectors
+    X = np.array([r[1] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    truth = {(i, j) for i in range(vid) for j in range(i + 1, vid)
+             if S[i, j] >= th}
+    assert len(truth) > 50, "fixture must contain real near-dup pairs"
+
+    def run(probes):
+        out = similarity.cosine_near_dup_pairs_auto(
+            embd, threshold=th, num_centroids=12, probes=probes)
+        return {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+
+    got1, got2 = run(1), run(2)
+    # precision 1: every reported pair is a true pair with the exact cosine
+    for (i, j), cos in got2.items():
+        assert (i, j) in truth
+        assert abs(cos - S[i, j]) <= 1e-6
+    r1 = len(set(got1) & truth) / len(truth)
+    r2 = len(set(got2) & truth) / len(truth)
+    assert r2 >= r1, (r1, r2)
+    assert r2 >= 0.9, f"multi-probe recall too low: {r2} (single-probe {r1})"

