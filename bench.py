@@ -78,9 +78,40 @@ def main() -> None:
                 "q21_ann_cosine", "q22_embedding_neardup", "q26_jaccard_mining",
                 "q29_jaccard_match", "q30_neardup_blas",
                 "q34_dedup_groups", "q35_percentiles", "q36_incremental_dedup",
-                "q37_audio_spectral"]
+                "q37_audio_spectral", "q38_neardup_auto"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    # ---- connected components at realistic pair-graph scale ----
+    # the q34 fixture is ~650 nodes; this certifies the O(log diameter)
+    # pointer-jumping claim on a >=1M-edge graph: 800 worst-case chains
+    # of 1024 nodes (diameter 1023 -> ~log2 generations) + 256 dense
+    # star blobs (the shape near-dup components actually take)
+    from drain3_spark.pipeline.dedup import connected_components
+    chains = (spark.range(800 * 1023)
+              .select(((F.col("id") / 1023).cast("long") * 100000
+                       + F.pmod(F.col("id"), 1023)).alias("id_a"))
+              .withColumn("id_b", F.col("id_a") + 1))
+    blobs = (spark.range(256 * 800)
+             .select((F.lit(1_000_000_000)
+                      + (F.col("id") / 800).cast("long") * 10000).alias("id_a"),
+                     (F.lit(1_000_000_000)
+                      + (F.col("id") / 800).cast("long") * 10000
+                      + F.pmod(F.col("id"), 800) + 1).alias("id_b")))
+    # right-size the edge partitioning: 1M tiny rows do not want the
+    # range scan's task count carried through 10 checkpointed
+    # generations (measured: 64-128-task stages are pure scheduling
+    # overhead at this row count)
+    graph = chains.unionByName(blobs).repartition(cpus)
+    n_edges = 800 * 1023 + 256 * 800
+    cc_stats: dict = {}
+
+    def run_cc():
+        labels = connected_components(graph, max_iter=64, stats=cc_stats)
+        return labels.select(F.countDistinct("group_id")).collect()[0][0]
+
+    n_components = timed("cc_graph_1m", run_cc)
+    assert n_components == 800 + 256, n_components
 
     # ---- clips validation throughput (north metric) ----
     work = "/tmp/drain3_spark_bench_clips_v2"  # v2: fixture adds sr-flip on the drift partition
@@ -139,6 +170,10 @@ def main() -> None:
         "violations_found": n_viol,
         "clusters_mined": n_clusters,
         "cpus": cpus,
+        "cc_graph": {"edges": n_edges, "components": n_components,
+                     "iterations": cc_stats.get("iterations"),
+                     "converged": cc_stats.get("converged"),
+                     "iter_secs": cc_stats.get("iter_secs")},
     }
     # two-cluster-size scaling evidence (north_rule): embed the latest
     # recorded protocol run (tools/bench_scaling.py; details BASELINE.md)

@@ -514,30 +514,38 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = _truncate(und.groupBy("u")
                        .agg(F.least(F.min("v"), F.col("u")).alias("lbl")))
 
+    from pyspark.sql import Observation
+
     converged = False
     iterations = 0
     iter_secs: List[float] = []
     for _ in range(max_iter):
         t0 = time.monotonic()
-        # (a) min label over each node's neighborhood
+        # (a) min label over each node's neighborhood; carry the
+        # pre-iteration label as _prev so convergence is an in-job
+        # Observation on the jump's own materialization — no separate
+        # count job and no extra corpus-width join per generation
+        # (measured: 3 jobs/generation -> 2 on a 1M-edge graph)
         nbr = (und.join(labels.select(F.col("u").alias("v"),
                                       F.col("lbl").alias("nlbl")), "v")
                .groupBy("u").agg(F.min("nlbl").alias("nlbl")))
         prop = (labels.join(nbr, "u", "left")
                 .select("u", F.least("lbl", F.coalesce("nlbl", "lbl"))
-                        .alias("lbl")))
+                        .alias("lbl"), F.col("lbl").alias("_prev")))
         # (b) pointer jump: label <- label's label (labels are ids, so
         # the label table itself is the pointer table).  prop feeds both
         # join sides — truncate first so it computes once.
         prop = _truncate(prop)
         ptr = prop.select(F.col("u").alias("_l"), F.col("lbl").alias("_j"))
+        obs = Observation()
         jumped = _truncate(
             prop.join(ptr, F.col("lbl") == F.col("_l"), "left")
             .select("u", F.least("lbl", F.coalesce("_j", "lbl"))
-                    .alias("lbl")))
-        changed = (jumped.join(labels.withColumnRenamed("lbl", "_old"), "u")
-                   .filter(F.col("lbl") != F.col("_old")).count())
-        labels = jumped
+                    .alias("lbl"), "_prev")
+            .observe(obs, F.sum((F.col("lbl") != F.col("_prev"))
+                                .cast("long")).alias("changed")))
+        changed = obs.get["changed"] or 0
+        labels = jumped.select("u", "lbl")
         iterations += 1
         iter_secs.append(time.monotonic() - t0)
         if changed == 0:
