@@ -219,15 +219,135 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+# PNG filter type codes (RFC 2083 §6)
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline PNG filtering (None/Sub/Up/Average/Paeth).
+
+    ``raw`` is the inflated byte stream: h rows of (1 filter byte +
+    stride image bytes).  Rows are sequential by construction (each
+    depends on the fully reconstructed previous row); within a row,
+    Sub/Average/Paeth recur on the pixel ``bpp`` bytes to the left, so
+    the inner loop is per-byte — fine for the bounded thumbnails this
+    pipeline decodes per Arrow batch."""
+    img = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(raw[pos])
+        row = raw[pos + 1: pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:                     # None
+            cur = row
+        elif ftype == 1:                   # Sub
+            cur = row.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:                   # Up
+            cur = (row + prev) & 0xFF
+        elif ftype == 3:                   # Average
+            cur = row.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:                   # Paeth
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        img[y] = cur.astype(np.uint8)
+        prev = cur
+    return img
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Pure stdlib-zlib + numpy PNG decoder: 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced.  Alpha is dropped (matching the Pillow path's
+    ``convert("RGB")`` semantics); gray stays 1-channel like PGM.
+    Interlaced (Adam7) and 16-bit images raise a declared
+    ``NotImplementedError``."""
+    import zlib
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        (length,), tag = struct.unpack_from(">I", data, pos), data[pos + 4:pos + 8]
+        body = data[pos + 8: pos + 8 + length]
+        pos += 12 + length                 # len + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / interlace {interlace} not supported "
+            "(8-bit non-interlaced only)")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG inflated size mismatch (corrupt IDAT)")
+    img = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return np.ascontiguousarray(plte[img[..., 0]])
+    if ctype == 4:
+        return np.ascontiguousarray(img[..., :1])    # drop alpha
+    if ctype == 6:
+        return np.ascontiguousarray(img[..., :3])    # drop alpha
+    return np.ascontiguousarray(img)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0, one IDAT) for (H, W, 1|3) uint8 —
+    fixture/test-side counterpart of :func:`_decode_png`."""
+    import zlib
+    h, w, nch = img.shape
+    ctype = {1: 0, 3: 2}[nch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    rows = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(rows))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode image bytes to an (H, W, C) uint8 array.
 
     Decoders, in order:
 
-    1. pure-numpy decoders for UNCOMPRESSED formats dispatched on magic
-       bytes: binary PPM (P6), PGM (P5), and 24-bit BI_RGB BMP — the
-       image path is real end-to-end without any media library, and the
-       output (incl. channel count: PGM stays 1-channel) is identical
+    1. library-free decoders dispatched on magic bytes: binary PPM
+       (P6), PGM (P5), 24-bit BI_RGB BMP, and — via stdlib zlib —
+       8-bit non-interlaced PNG (gray / RGB / palette / alpha-dropped
+       GA+RGBA, all five standard scanline filters); the image path is
+       real end-to-end without any media library, and the output
+       (incl. channel count: PGM/gray-PNG stay 1-channel) is identical
        in every environment;
     2. Pillow for OTHER formats, auto-detected when importable; a
        genuine Pillow decode failure (corrupt PNG/JPEG, junk bytes) is
@@ -243,6 +363,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_pnm(raw)
     if raw[:2] == b"BM":
         return _decode_bmp(raw)
+    if raw[:8] == _PNG_SIG:
+        return _decode_png(raw)
     try:
         from PIL import Image  # optional dependency, absent here
     except ImportError:

@@ -201,7 +201,8 @@ def assign_ivf_buckets_multiprobe(embeddings: DataFrame,
 def cosine_near_dup_pairs_auto(embeddings: DataFrame, threshold: float = 0.95,
                                num_centroids: int = 16, probes: int = 2,
                                id_col: str = "vec_id",
-                               vec_col: str = "embedding") -> DataFrame:
+                               vec_col: str = "embedding",
+                               method: str = "catalyst") -> DataFrame:
     """Embedding near-duplicate pairs WITHOUT a label column — the
     turnkey shape for a real unlabeled 100-TB embedding corpus:
     :func:`assign_ivf_buckets_multiprobe` supplies the block column,
@@ -217,9 +218,22 @@ def cosine_near_dup_pairs_auto(embeddings: DataFrame, threshold: float = 0.95,
     ``test_auto_near_dup_multiprobe_recall``); the returned cosines are
     exact and identical to the blocked-brute-force operator, so
     precision is 1 by construction.
+
+    ``method="catalyst"`` (default) evaluates per-pair cosines as pure
+    expressions — bit-reproducible against the DuckDB oracle.
+    ``method="blas"`` is the scale path: each bucket's pairs come out of
+    one Gram-matrix Arrow task (:func:`_blas_pairs_by_block`), then the
+    cross-probe duplicates are dropped; same pairs, cosines agree to
+    float tolerance (pinned by
+    ``test_auto_near_dup_blas_matches_catalyst``).
     """
     assigned = assign_ivf_buckets_multiprobe(embeddings, num_centroids,
                                              probes, id_col, vec_col)
+    if method == "blas":
+        e = assigned.select(F.col(id_col).alias("id"),
+                            F.col("bucket").alias("blk"), "vec")
+        return (_blas_pairs_by_block(e, threshold)
+                .dropDuplicates(["id_a", "id_b"]))
     # the per-pair cosine below is an interpreted HOF expression: widen
     # a one-partition scan (no-op at scale, see widen_small_scan)
     from drain3_spark.util import widen_small_scan
@@ -261,6 +275,43 @@ def ivf_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
             .limit(k))
 
 
+def _blas_pairs_by_block(e: DataFrame, threshold: float) -> DataFrame:
+    """Gram-matrix near-dup pairs within blocks: ONE shuffle groups each
+    block's ``(id, blk, vec)`` rows into an Arrow task, numpy computes
+    the normalized ``X @ X.T`` (BLAS, dim-vectorized) and emits only
+    above-threshold pairs — per-block work is O(n² d) in native code and
+    the quadratic intermediate never leaves the task.  Shared by the
+    labeled (:func:`cosine_near_dup_pairs`) and self-blocking
+    (:func:`cosine_near_dup_pairs_auto`) operators."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    th = float(threshold)
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.asarray([list(v) for v in pdf["vec"].iloc[order]],
+                       dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        S = (X / norms[:, None]) @ (X / norms[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = np.round(S[iu, ju], 6)
+        keep = cos >= th
+        return pd.DataFrame({"id_a": ids[iu[keep]].astype("int64"),
+                             "id_b": ids[ju[keep]].astype("int64"),
+                             "cosine": cos[keep]})
+
+    return e.groupBy("blk").applyInPandas(block_pairs, out_schema)
+
+
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                           block_col: str = "label", id_col: str = "vec_id",
                           vec_col: str = "embedding",
@@ -280,33 +331,7 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     e = embeddings.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
                           F.col(vec_col).cast("array<double>").alias("vec"))
     if method == "blas":
-        import numpy as np
-        from pyspark.sql import types as T
-
-        out_schema = T.StructType([
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ])
-        th = float(threshold)
-
-        def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-            ids = pdf["id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            X = np.asarray([list(v) for v in pdf["vec"].iloc[order]],
-                           dtype=np.float64)
-            norms = np.linalg.norm(X, axis=1)
-            norms[norms == 0.0] = 1.0
-            S = (X / norms[:, None]) @ (X / norms[:, None]).T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            cos = np.round(S[iu, ju], 6)
-            keep = cos >= th
-            return pd.DataFrame({"id_a": ids[iu[keep]].astype("int64"),
-                                 "id_b": ids[ju[keep]].astype("int64"),
-                                 "cosine": cos[keep]})
-
-        return e.groupBy("blk").applyInPandas(block_pairs, out_schema)
+        return _blas_pairs_by_block(e, threshold)
 
     # the per-pair cosine below is a HOF expression (interpreted, see
     # PLANS.md): widen the probe side so a one-partition scan doesn't

@@ -457,9 +457,13 @@ def test_image_decode_real_formats(spark):
     dec = multimodal.decode_image(pgm)
     assert dec.shape == (5, 9, 1) and np.array_equal(dec[:, :, 0], gray)
 
-    # compressed formats stay declared stubs (without Pillow)
-    with pytest.raises(NotImplementedError):
+    # PNG is a real decoder now: a corrupt payload (signature but no
+    # IHDR) is a decode ERROR, not a missing-codec stub
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+    # formats without a library-free decoder (JPEG) stay declared stubs
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0....")
 
 
 def _encode_y4m(frames_rgb):
@@ -682,3 +686,140 @@ def test_auto_near_dup_multiprobe_recall(spark):
     r2 = len(set(got2) & truth) / len(truth)
     assert r2 >= r1, (r1, r2)
     assert r2 >= 0.9, f"multi-probe recall too low: {r2} (single-probe {r1})"
+
+
+def _png_forward_filter(img: np.ndarray, ftypes) -> bytes:
+    """Test-side PNG builder applying a GIVEN filter type per scanline
+    (independent forward implementation of RFC 2083 §6, so the
+    decoder's unfiltering is exercised adversarially, not just against
+    our own filter-0 writer)."""
+    import struct as _st
+    import zlib
+    h, w, nch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    stride = w * nch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = []
+    for y in range(h):
+        f = ftypes[y % len(ftypes)]
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        enc = np.zeros(stride, np.int32)
+        for i in range(stride):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if (i >= nch and y > 0) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (cur[i] - pred) & 0xFF
+        out.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+
+    def chunk(tag, body):
+        return (_st.pack(">I", len(body)) + tag + body
+                + _st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = _st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(out)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_and_all_filters():
+    rng = np.random.RandomState(89)
+    img = rng.randint(0, 256, (13, 17, 3), np.uint8)
+
+    # our own writer (filter 0) -> our decoder
+    got = multimodal.decode_image(multimodal.encode_png(img))
+    assert np.array_equal(got, img)
+    gray = img[..., :1]
+    assert np.array_equal(multimodal.decode_image(multimodal.encode_png(gray)),
+                          gray)
+
+    # every scanline filter type, cycled across rows, via the
+    # independent forward filterer
+    for ftypes in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _png_forward_filter(img, ftypes)
+        assert np.array_equal(multimodal.decode_image(payload), img), ftypes
+
+    # RGBA: alpha dropped, RGB planes exact (Pillow convert('RGB') parity)
+    rgba = rng.randint(0, 256, (9, 7, 4), np.uint8)
+    got = multimodal.decode_image(_png_forward_filter(rgba, [4]))
+    assert np.array_equal(got, rgba[..., :3])
+    # gray+alpha: alpha dropped, stays 1-channel
+    ga = rng.randint(0, 256, (6, 5, 2), np.uint8)
+    got = multimodal.decode_image(_png_forward_filter(ga, [2]))
+    assert np.array_equal(got, ga[..., :1])
+
+
+def test_png_palette_and_declared_limits():
+    import struct as _st
+    import zlib
+
+    def chunk(tag, body):
+        return (_st.pack(">I", len(body)) + tag + body
+                + _st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    # palette image: indices 0..3 mapped through a 4-entry PLTE
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 4, (5, 6), np.uint8)
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                    np.uint8)
+    rows = b"".join(b"\x00" + idx[y].tobytes() for y in range(5))
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", _st.pack(">IIBBBBB", 6, 5, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", plte.tobytes())
+               + chunk(b"IDAT", zlib.compress(rows))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(multimodal.decode_image(payload), plte[idx])
+
+    # declared limits: 16-bit and interlaced raise NotImplementedError
+    for depth, interlace in ((16, 0), (8, 1)):
+        bad = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", _st.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0,
+                                         interlace))
+               + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+               + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(bad)
+
+
+def test_png_through_spark_image_ops(spark):
+    """PNG payloads flow through the same mapInPandas feature/resize
+    plumbing as the uncompressed formats."""
+    rng = np.random.RandomState(31)
+    rows = []
+    for i in range(6):
+        img = rng.randint(0, 256, (16, 16, 3), np.uint8)
+        rows.append((f"png-{i}", bytearray(multimodal.encode_png(img))))
+    items = spark.createDataFrame(rows, "item_id string, payload binary")
+    feats = {r.item_id: r for r in multimodal.image_features(items).collect()}
+    assert len(feats) == 6
+    assert all(r.width == 16 and r.height == 16 and r.channels == 3
+               for r in feats.values())
+    resized = multimodal.resize_images(items, out_w=4, out_h=4).collect()
+    assert all(len(r.pixels) == 4 * 4 * 3 for r in resized)
+
+
+def test_auto_near_dup_blas_matches_catalyst(spark, emb):
+    """The self-blocking near-dup's BLAS scale path must produce the
+    same pairs as the Catalyst expression path, cosines to float
+    tolerance (the 6-dp round makes them equal in practice)."""
+    cat = {(r.id_a, r.id_b): r.cosine
+           for r in similarity.cosine_near_dup_pairs_auto(
+               emb, threshold=0.35, num_centroids=8, probes=2).collect()}
+    blas = {(r.id_a, r.id_b): r.cosine
+            for r in similarity.cosine_near_dup_pairs_auto(
+                emb, threshold=0.35, num_centroids=8, probes=2,
+                method="blas").collect()}
+    assert set(cat) == set(blas)
+    assert cat and all(abs(cat[k] - blas[k]) <= 1e-6 for k in cat)
