@@ -497,6 +497,61 @@ def _q37_audio_spectral(spark, sf):
         F.sum((F.col("clipping_ratio") > 0).cast("long")).alias("n_clipped"))
 
 
+def _q39_audio_neardup(spark, sf):
+    """Audio near-duplicate pairs over an unlabeled clip corpus with
+    planted perturbed duplicates (gain 0.9 + noise + codec re-quant):
+    mel-spectral embedding (pipeline/audio_sim.py) composed with the
+    spectral-peak (top-2 mel band) multi-probe blocking + exact
+    cosine verify, the blocked-pair shape shared with q38's operator.
+    Rows-only: FFT-derived embeddings have no SQL oracle; the planted
+    pairs and numpy-brute-force parity are pinned by
+    test_audio_near_dup_planted."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_sim import audio_near_dup_pairs
+    base = FX.gen_clips(spark, 200, dirty=False, dur_lo=250, dur_hi=600)
+    dups = FX.gen_clip_dups(spark, 200, every=10, dur_lo=250, dur_hi=600)
+    pairs = audio_near_dup_pairs(base.unionByName(dups), threshold=0.999)
+    return pairs.select("clip_id_a", "clip_id_b",
+                        F.round("cosine", 6).alias("cosine"))
+
+
+def _q40_audio_mfcc(spark, sf):
+    """Time-averaged MFCCs (log-mel -> DCT-II, pure numpy) over the
+    clip corpus (rows-only: FFT float reductions have no SQL oracle;
+    value-pinned by test_q40_mfcc_aggregates_pin and the gain/content
+    property tests in test_audio_sim.py)."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_sim import audio_mfcc
+    clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600)
+    m = audio_mfcc(clips)
+    el = F.col("mfcc")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg(el[0]), 2).alias("avg_c0"),
+        F.round(F.avg(el[1]), 4).alias("avg_c1"),
+        F.round(F.avg(el[2]), 4).alias("avg_c2"),
+        F.round(F.avg(F.abs(el[12])), 4).alias("avg_abs_c12"))
+
+
+def _q41_audio_resample(spark, sf):
+    """Resample the corpus to 8 kHz (linear interpolation, re-encode
+    with each clip's codec) then run the spectral DSP over the
+    RESAMPLED payloads — dominant frequency must survive the rate
+    change (all synthesis tones sit below the new Nyquist).  Rows-only;
+    value-pinned by test_q41_resample_aggregates_pin."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_sim import resample_clips
+    from drain3_spark.pipeline.multimodal import audio_spectral_features
+    clips = FX.gen_clips(spark, 150, dirty=False, dur_lo=250, dur_hi=600)
+    rs = resample_clips(clips, 8000)
+    feats = audio_spectral_features(rs)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("dominant_freq_hz"), 2).alias("avg_dominant_hz"),
+        F.round(F.avg("centroid_hz"), 2).alias("avg_centroid_hz"),
+        F.round(F.avg("silence_ratio"), 6).alias("avg_silence"))
+
+
 def _q31_image_features(spark, sf):
     """Real image decode (pure-numpy PPM/BMP) -> dims + luma histogram +
     nearest-neighbor resize over a deterministic synthetic image corpus
@@ -618,6 +673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_neardup_auto": _q38_neardup_auto,
         "q36_incremental_dedup": _q36_incremental_dedup,
         "q37_audio_spectral": _q37_audio_spectral,
+        "q39_audio_neardup": _q39_audio_neardup,
+        "q40_audio_mfcc": _q40_audio_mfcc,
+        "q41_audio_resample": _q41_audio_resample,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,

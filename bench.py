@@ -78,7 +78,8 @@ def main() -> None:
                 "q21_ann_cosine", "q22_embedding_neardup", "q26_jaccard_mining",
                 "q29_jaccard_match", "q30_neardup_blas",
                 "q34_dedup_groups", "q35_percentiles", "q36_incremental_dedup",
-                "q37_audio_spectral", "q38_neardup_auto"]
+                "q37_audio_spectral", "q38_neardup_auto", "q39_audio_neardup",
+                "q40_audio_mfcc", "q41_audio_resample"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
@@ -112,6 +113,29 @@ def main() -> None:
 
     n_components = timed("cc_graph_1m", run_cc)
     assert n_components == 800 + 256, n_components
+
+    # ---- audio dedup throughput at corpus scale ----
+    # q39's fixture corpus is 220 clips; this times the same operator
+    # family on 50k clips (decode -> mel embedding, then spectral-peak
+    # blocked near-dup, BLAS verify).  n_mels=256 keeps per-bucket
+    # populations bounded at this corpus size (the knob the operator
+    # documents for scale); generation is cached to parquet and
+    # excluded from the timing.
+    from drain3_spark.pipeline.audio_sim import (audio_embeddings,
+                                                 audio_near_dup_pairs)
+    n_audio = int(os.environ.get("SPARK_GRAFT_BENCH_AUDIO_CLIPS", "50000"))
+    awork = f"/tmp/drain3_spark_bench_audio_v1/clips_{n_audio}"
+    if not os.path.exists(awork + "/_SUCCESS"):
+        FX.write_clips(FX.gen_clips(spark, n_audio, dirty=False, dur_lo=20,
+                                    dur_hi=60, partitions=cpus * 2), awork)
+    aclips = spark.read.parquet(awork)
+    timed("audio_embed_50k",
+          lambda: audio_embeddings(aclips).count())
+    n_audio_pairs = timed(
+        "audio_neardup_50k",
+        lambda: audio_near_dup_pairs(aclips, threshold=0.999,
+                                     method="blas", n_mels=256).count())
+    audio_embed_cps = round(n_audio / timings["audio_embed_50k"], 1)
 
     # ---- clips validation throughput (north metric) ----
     work = "/tmp/drain3_spark_bench_clips_v2"  # v2: fixture adds sr-flip on the drift partition
@@ -174,6 +198,8 @@ def main() -> None:
                      "iterations": cc_stats.get("iterations"),
                      "converged": cc_stats.get("converged"),
                      "iter_secs": cc_stats.get("iter_secs")},
+        "audio_dedup": {"clips": n_audio, "pairs": n_audio_pairs,
+                        "embed_clips_per_sec": audio_embed_cps},
     }
     # two-cluster-size scaling evidence (north_rule): embed the latest
     # recorded protocol run (tools/bench_scaling.py; details BASELINE.md)

@@ -344,3 +344,52 @@ def gen_expected_violations(spark: SparkSession, n: int, n_ds: int = 7,
 
     parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, VIOLATION_SCHEMA)
+
+
+def dup_meta(i: int, n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
+             gain: float = 0.9, noise_amp: float = 0.002) -> Dict:
+    """Metadata for a planted near-duplicate of base row ``i``: same
+    sr/codec/transcript as the base, perturbed payload (gain change +
+    small additive noise + codec re-quantization)."""
+    base = row_meta(i, n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi, dirty=False)
+    return {**base, "base_clip_id": base["clip_id"],
+            "clip_id": f"dup-{i:010d}", "gain": gain, "noise_amp": noise_amp}
+
+
+def _synth_dup_row(m: Dict) -> tuple:
+    pcm = reference_pcm(m["base_clip_id"], m["sr_hz"], m["dur_ms"])
+    rng = np.random.default_rng(m["h"] & 0xFFFFFFFF ^ 0xD0D0D0D0)
+    pert = np.clip(m["gain"] * pcm.astype(np.float64)
+                   + m["noise_amp"] * rng.uniform(-1.0, 1.0, len(pcm)),
+                   -1.0, 1.0).astype(np.float32)
+    payload = encode(pert, m["codec"])
+    return (m["clip_id"], bytearray(payload), m["sr_hz"], m["dur_ms"],
+            m["codec"], m["transcript"], m["ds"])
+
+
+def gen_clip_dups(spark: SparkSession, n: int, every: int = 10,
+                  n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
+                  gain: float = 0.9, noise_amp: float = 0.002,
+                  partitions: Optional[int] = None) -> DataFrame:
+    """Planted near-duplicates for every ``every``-th clip of a
+    ``gen_clips(spark, n, dirty=False, ...)`` corpus — ids
+    ``dup-%010d``, payload = base PCM x ``gain`` + uniform noise of
+    amplitude ``noise_amp``, re-encoded with the base codec.  Union
+    with the base corpus to get a table whose true near-dup pairs are
+    exactly {(clip-i, dup-i) : i % every == 0}."""
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
+    kw = dict(n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi,
+              gain=gain, noise_amp=noise_amp)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CLIPS_SCHEMA.fields]
+        for b in batches:
+            rows = [_synth_dup_row(dup_meta(int(i) * every, **kw))
+                    for i in b["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    n_dups = (n + every - 1) // every
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return (spark.range(0, n_dups, numPartitions=min(parts, max(n_dups, 1)))
+            .mapInPandas(synth, CLIPS_SCHEMA))

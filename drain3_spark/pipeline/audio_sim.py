@@ -1,0 +1,430 @@
+"""Audio similarity / transformation operators for a training-data
+pipeline: mel-spectral embeddings, MFCCs, audio near-duplicate
+detection, resampling, and silence trimming.
+
+All DSP is pure numpy (rFFT + mel filterbank) inside batched Arrow
+``mapInPandas`` UDFs — no media or DSP library, no per-row Python —
+the same bounded-batch shape as :mod:`drain3_spark.pipeline.multimodal`
+(binary payloads dominate Arrow batch memory).
+
+The near-dup operator shares the blocked-pair shape of the embedding
+dedup family (:mod:`drain3_spark.pipeline.similarity`): a spectral
+embedding per clip, SPECTRAL-PEAK multi-probe blocking (each clip
+probes its two most energetic mel bands — stable where generic IVF
+centroid assignment degenerates on peaked spectra, see
+:func:`audio_near_dup_pairs`), and the exact cosine verify in either
+Catalyst-expression or one-task BLAS form — candidate-bounded at any
+corpus size.
+
+Key invariances of the embedding (measured, pinned by tests):
+
+* **gain** — band powers scale uniformly; L2 normalization removes it;
+* **codec** — mulaw/alaw quantization noise perturbs cosine < 1e-4 on
+  the fixture corpus;
+* **sample rate** — frame length is fixed in MILLISECONDS, so the rFFT
+  bin grid is the same in Hz at every rate, and mel triangles are
+  defined in Hz up to ``f_hi`` (below the lowest supported Nyquist):
+  a resampled copy of a clip lands on the same embedding.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+AUDIO_EMBEDDING_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    # two most energetic mel bands — the spectral-peak blocking keys
+    # for near-dup candidate generation (see audio_near_dup_pairs)
+    T.StructField("top_bands", T.ArrayType(T.IntegerType())),
+])
+
+AUDIO_MFCC_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("mfcc", T.ArrayType(T.DoubleType())),
+])
+
+RESAMPLED_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("sr_hz", T.IntegerType()),
+    T.StructField("dur_ms", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+])
+
+TRIMMED_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("sr_hz", T.IntegerType()),
+    T.StructField("dur_ms", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("trimmed_lead_ms", T.IntegerType()),
+    T.StructField("trimmed_tail_ms", T.IntegerType()),
+])
+
+
+# ------------------------------------------------------------ mel machinery
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(sr_hz: int, n_fft: int, n_mels: int,
+                   f_lo: float, f_hi: float) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular mel filterbank (HTK mel scale),
+    triangles anchored in Hz so the same physical band is measured at
+    every sample rate."""
+    pts = _mel_to_hz(np.linspace(_hz_to_mel(f_lo), _hz_to_mel(f_hi),
+                                 n_mels + 2))
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / float(sr_hz))
+    fb = np.zeros((n_mels, len(freqs)))
+    for m in range(n_mels):
+        left, center, right = pts[m], pts[m + 1], pts[m + 2]
+        up = (freqs - left) / max(center - left, 1e-12)
+        down = (right - freqs) / max(right - center, 1e-12)
+        fb[m] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+# per-executor caches: filterbanks and Hann windows are pure functions
+# of their parameters, shared across Arrow batches
+_FB_CACHE: Dict[Tuple, np.ndarray] = {}
+_WIN_CACHE: Dict[int, np.ndarray] = {}
+
+
+def _mel_frames(pcm: np.ndarray, sr: int, frame_ms: int, hop_ms: int,
+                n_mels: int, f_lo: float, f_hi: float) -> np.ndarray:
+    """(n_frames, n_mels) mel power energies; short clips are zero-padded
+    to one frame.  Frame length fixed in ms -> fixed Hz bin grid."""
+    frame = max(int(sr) * frame_ms // 1000, 2)
+    hop = max(int(sr) * hop_ms // 1000, 1)
+    if len(pcm) < frame:
+        pcm = np.pad(pcm, (0, frame - len(pcm)))
+    key = (int(sr), frame, n_mels, float(f_lo), float(f_hi))
+    fb = _FB_CACHE.get(key)
+    if fb is None:
+        fb = _FB_CACHE[key] = mel_filterbank(sr, frame, n_mels, f_lo, f_hi)
+    win = _WIN_CACHE.get(frame)
+    if win is None:
+        win = _WIN_CACHE[frame] = np.hanning(frame)
+    starts = np.arange(0, len(pcm) - frame + 1, hop)
+    # strided frame matrix -> ONE batched rFFT over all frames
+    frames = np.lib.stride_tricks.sliding_window_view(pcm, frame)[starts] * win
+    P = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    return P @ fb.T
+
+
+def _mel_frames_many(pcms, sr: int, frame_ms: int, hop_ms: int,
+                     n_mels: int, f_lo: float, f_hi: float):
+    """Batched :func:`_mel_frames` over clips sharing a sample rate:
+    every clip's frames are stacked into ONE rFFT + ONE filterbank
+    matmul (clips at the same rate share the frame width, so the stack
+    is rectangular).  Per-clip numpy call overhead dominates short
+    clips — batching moves it to one call per (Arrow batch, rate)
+    (measured 1.6x end-to-end on the 50k-clip bench corpus,
+    where scan+decode share the clock).  Returns
+    ``(E, counts)``: the concatenated (total_frames, n_mels) energies
+    and the per-clip frame counts, in input order — equal to per-clip
+    :func:`_mel_frames` to float rounding (pocketfft vectorizes across
+    transforms, so summation order depends on batch shape; pinned at
+    1e-12 by ``test_mel_frames_many_matches_single``)."""
+    frame = max(int(sr) * frame_ms // 1000, 2)
+    hop = max(int(sr) * hop_ms // 1000, 1)
+    key = (int(sr), frame, n_mels, float(f_lo), float(f_hi))
+    fb = _FB_CACHE.get(key)
+    if fb is None:
+        fb = _FB_CACHE[key] = mel_filterbank(sr, frame, n_mels, f_lo, f_hi)
+    win = _WIN_CACHE.get(frame)
+    if win is None:
+        win = _WIN_CACHE[frame] = np.hanning(frame)
+    stacks, counts = [], []
+    for pcm in pcms:
+        if len(pcm) < frame:
+            pcm = np.pad(pcm, (0, frame - len(pcm)))
+        starts = np.arange(0, len(pcm) - frame + 1, hop)
+        stacks.append(
+            np.lib.stride_tricks.sliding_window_view(pcm, frame)[starts])
+        counts.append(len(starts))
+    M = np.concatenate(stacks) * win
+    P = np.abs(np.fft.rfft(M, axis=1)) ** 2
+    return P @ fb.T, counts
+
+
+def audio_embeddings(clips: DataFrame, n_mels: int = 64,
+                     frame_ms: int = 64, hop_ms: int = 32,
+                     f_lo: float = 100.0, f_hi: float = 3500.0) -> DataFrame:
+    """Per-clip spectral embedding: decode -> framed Hann rFFT -> mel
+    band powers (LINEAR, per-frame), time-averaged, L2-normalized.
+
+    Linear (not log) power keeps the embedding dominated by spectral
+    CONTENT rather than the noise floor — distinct clips decorrelate
+    while gain/codec/resample copies stay at cosine ~1 (see module
+    docstring).  ``f_hi`` must sit below the lowest Nyquist in the
+    corpus (3500 < 8000/2 for every supported rate) so every clip
+    measures the same physical bands.  Undecodable payloads yield a
+    null embedding (the decode CHECK family owns flagging them)."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.codecs import decode
+        for b in batches:
+            out = [None] * len(b)
+            by_sr: Dict[int, list] = {}        # sr -> [(row_idx, pcm)]
+            for j, (cid, payload, sr, codec) in enumerate(
+                    zip(b["clip_id"], b["bytes"], b["sr_hz"], b["codec"])):
+                try:
+                    pcm = decode(bytes(payload), codec).astype(np.float64)
+                except Exception:
+                    out[j] = (cid, 0, None, None)
+                    continue
+                if len(pcm) == 0 or not sr:
+                    out[j] = (cid, 0, None, None)
+                    continue
+                by_sr.setdefault(int(sr), []).append((j, cid, pcm))
+            for sr, items in by_sr.items():
+                E, counts = _mel_frames_many([p for _, _, p in items], sr,
+                                             frame_ms, hop_ms, n_mels,
+                                             f_lo, f_hi)
+                pos = 0
+                for (j, cid, _), nf in zip(items, counts):
+                    v = E[pos:pos + nf].mean(axis=0)
+                    pos += nf
+                    nrm = float(np.linalg.norm(v))
+                    if nrm > 0.0:
+                        v = v / nrm
+                    top = np.argsort(v)[::-1][:2]
+                    out[j] = (cid, nf, [float(x) for x in v],
+                              [int(x) for x in top])
+            yield pd.DataFrame(out,
+                               columns=[f.name for f in AUDIO_EMBEDDING_SCHEMA])
+
+    return (clips.select("clip_id", "bytes", "sr_hz", "codec")
+            .mapInPandas(extract, AUDIO_EMBEDDING_SCHEMA))
+
+
+def audio_mfcc(clips: DataFrame, n_mfcc: int = 13, n_mels: int = 26,
+               frame_ms: int = 64, hop_ms: int = 32,
+               f_lo: float = 100.0, f_hi: float = 3500.0) -> DataFrame:
+    """Time-averaged MFCCs: log mel energies -> orthonormal DCT-II ->
+    first ``n_mfcc`` coefficients, averaged over frames.
+
+    Gain multiplies every mel energy by the same factor, which under
+    log becomes an additive constant — it moves ONLY coefficient 0
+    (the DCT's constant basis); c1..c12 are gain-invariant (pinned by
+    ``test_audio_mfcc_gain_invariance``)."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
+
+    # orthonormal DCT-II matrix (n_mfcc x n_mels), built once per plan
+    k = np.arange(n_mfcc)[:, None]
+    n = np.arange(n_mels)[None, :]
+    dct = np.cos(np.pi * k * (2 * n + 1) / (2.0 * n_mels))
+    dct *= np.sqrt(2.0 / n_mels)
+    dct[0] /= np.sqrt(2.0)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.codecs import decode
+        for b in batches:
+            out = [None] * len(b)
+            by_sr: Dict[int, list] = {}
+            for j, (cid, payload, sr, codec) in enumerate(
+                    zip(b["clip_id"], b["bytes"], b["sr_hz"], b["codec"])):
+                try:
+                    pcm = decode(bytes(payload), codec).astype(np.float64)
+                except Exception:
+                    out[j] = (cid, 0, None)
+                    continue
+                if len(pcm) == 0 or not sr:
+                    out[j] = (cid, 0, None)
+                    continue
+                by_sr.setdefault(int(sr), []).append((j, cid, pcm))
+            for sr, items in by_sr.items():
+                E, counts = _mel_frames_many([p for _, _, p in items], sr,
+                                             frame_ms, hop_ms, n_mels,
+                                             f_lo, f_hi)
+                C = np.log(E + 1e-12) @ dct.T
+                pos = 0
+                for (j, cid, _), nf in zip(items, counts):
+                    co = C[pos:pos + nf].mean(axis=0)
+                    pos += nf
+                    out[j] = (cid, nf, [float(x) for x in co])
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_MFCC_SCHEMA])
+
+    return (clips.select("clip_id", "bytes", "sr_hz", "codec")
+            .mapInPandas(extract, AUDIO_MFCC_SCHEMA))
+
+
+# ------------------------------------------------------------- near-dup
+
+def audio_near_dup_pairs(clips: DataFrame, threshold: float = 0.999,
+                         method: str = "catalyst", n_mels: int = 64,
+                         frame_ms: int = 64, hop_ms: int = 32,
+                         f_lo: float = 100.0,
+                         f_hi: float = 3500.0) -> DataFrame:
+    """Audio near-duplicate pairs over an UNLABELED clip corpus:
+    ``(clip_id_a, clip_id_b, cosine)`` with ``clip_id_a < clip_id_b``,
+    where cosine is between the clips' spectral embeddings.
+
+    Blocking is SPECTRAL-PEAK buckets: each clip probes its two most
+    energetic mel bands (``top_bands`` from :func:`audio_embeddings`)
+    and only same-bucket pairs are scored — candidate-bounded, nothing
+    quadratic in the corpus ever materializes.  Peak buckets (not IVF
+    centroids) because spectra are PEAKED: a clip's dominant band wins
+    by orders of magnitude, so near-identical copies always agree on
+    it, while a generic-embedding centroid assignment degenerates here
+    (a clip whose band no centroid represents is near-equidistant to
+    ALL centroids, and the argmin tie-break is decided by noise —
+    measured: two copies at cosine 1-1e-9 landing in four distinct
+    buckets).  The second probe covers pairs straddling a band
+    boundary (both copies of a boundary clip emit both bands).  At
+    larger corpus scale, raise ``n_mels`` to widen the bucket space —
+    the verify stays candidate-bounded either way.
+
+    Verification is the exact per-pair cosine: ``method="catalyst"``
+    (default) as a pure expression; ``method="blas"`` one Gram-matrix
+    Arrow task per bucket (string ids ride through the BLAS kernel as
+    ``xxhash64`` longs, collision probability ~n²/2⁶⁴).  Gain-adjusted,
+    re-encoded, noise-perturbed, and RESAMPLED copies of a clip are all
+    found (embedding invariances, module docstring)."""
+    # the decode+FFT embedding pass feeds BOTH sides of the candidate
+    # self-join (and the id-resolution joins on the BLAS path) —
+    # Catalyst does not reuse exchanges across DAG branches, so share
+    # it once instead of re-decoding the corpus per branch
+    from drain3_spark.pipeline.dedup import _SharedScope
+    scope = _SharedScope()
+    emb = scope.share(
+        audio_embeddings(clips, n_mels, frame_ms, hop_ms, f_lo, f_hi)
+        .filter(F.col("embedding").isNotNull()))
+    assigned = emb.select("clip_id",
+                          F.explode("top_bands").alias("bucket"),
+                          F.col("embedding").alias("vec"))
+
+    if method == "blas":
+        from drain3_spark.pipeline.similarity import _blas_pairs_by_block
+        hashed = assigned.select(
+            F.xxhash64("clip_id").alias("id"), F.col("bucket").alias("blk"),
+            "vec", "clip_id")
+        pairs = (_blas_pairs_by_block(hashed.select("id", "blk", "vec"),
+                                      threshold)
+                 .dropDuplicates(["id_a", "id_b"]))
+        ids = hashed.select("id", "clip_id").dropDuplicates(["id"])
+        resolved = (pairs
+                    .join(ids.select(F.col("id").alias("id_a"),
+                                     F.col("clip_id").alias("ca")), "id_a")
+                    .join(ids.select(F.col("id").alias("id_b"),
+                                     F.col("clip_id").alias("cb")), "id_b"))
+        return scope.attach(
+            resolved.select(F.least("ca", "cb").alias("clip_id_a"),
+                            F.greatest("ca", "cb").alias("clip_id_b"),
+                            "cosine"))
+
+    from drain3_spark.pipeline.similarity import cosine_col
+    from drain3_spark.util import widen_small_scan
+    assigned = widen_small_scan(assigned)
+    a = assigned.select(F.col("clip_id").alias("clip_id_a"), "bucket",
+                        F.col("vec").alias("vec_a"))
+    b = assigned.select(F.col("clip_id").alias("clip_id_b"),
+                        F.col("bucket").alias("bucket_b"),
+                        F.col("vec").alias("vec_b"))
+    cand = (a.join(b, (F.col("bucket") == F.col("bucket_b"))
+                   & (F.col("clip_id_a") < F.col("clip_id_b")))
+            .dropDuplicates(["clip_id_a", "clip_id_b"]))
+    return scope.attach(
+        cand
+        .withColumn("cosine",
+                    F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("clip_id_a", "clip_id_b", "cosine"))
+
+
+# --------------------------------------------------------- transformations
+
+def resample_clips(clips: DataFrame, target_sr: int) -> DataFrame:
+    """Resample every clip to ``target_sr`` (linear interpolation) and
+    re-encode with the clip's own codec.  Content below the new Nyquist
+    survives (SNR >= 30 dB against an analytically regenerated signal,
+    pinned by ``test_resample_preserves_content``); ``dur_ms`` is
+    recomputed from the resampled length.  Clips already at
+    ``target_sr`` are re-emitted untouched (no decode round-trip);
+    undecodable payloads are dropped (decode CHECK family flags them)."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
+    tsr = int(target_sr)
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.codecs import decode, encode
+        for b in batches:
+            out = []
+            for cid, payload, sr, dur, codec in zip(
+                    b["clip_id"], b["bytes"], b["sr_hz"], b["dur_ms"],
+                    b["codec"]):
+                if int(sr) == tsr:
+                    out.append((cid, payload, int(sr), int(dur), codec))
+                    continue
+                try:
+                    pcm = decode(bytes(payload), codec).astype(np.float64)
+                except Exception:
+                    continue
+                n_new = max(int(round(len(pcm) * tsr / float(sr))), 1)
+                t_new = np.arange(n_new, dtype=np.float64) / tsr
+                t_old = np.arange(len(pcm), dtype=np.float64) / float(sr)
+                y = np.interp(t_new, t_old, pcm).astype(np.float32)
+                out.append((cid, bytearray(encode(y, codec)), tsr,
+                            int(round(n_new * 1000.0 / tsr)), codec))
+            yield pd.DataFrame(out, columns=[f.name for f in RESAMPLED_SCHEMA])
+
+    return (clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
+            .mapInPandas(rs, RESAMPLED_SCHEMA))
+
+
+def trim_silence(clips: DataFrame, frame_ms: int = 20,
+                 silence_rms: float = 0.01) -> DataFrame:
+    """Strip leading/trailing silent frames (frame RMS below
+    ``silence_rms``) and re-encode; reports how much was cut from each
+    end.  An all-silent clip keeps its first frame (never emits empty
+    audio).  Undecodable payloads are dropped."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
+
+    def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.codecs import decode, encode
+        for b in batches:
+            out = []
+            for cid, payload, sr, codec in zip(b["clip_id"], b["bytes"],
+                                               b["sr_hz"], b["codec"]):
+                try:
+                    pcm = decode(bytes(payload), codec).astype(np.float64)
+                except Exception:
+                    continue
+                sr = int(sr)
+                frame = max(sr * frame_ms // 1000, 1)
+                nf = max(len(pcm) // frame, 1)
+                padded = np.pad(pcm, (0, nf * frame - len(pcm))) \
+                    if nf * frame > len(pcm) else pcm[:nf * frame]
+                rms = np.sqrt((padded.reshape(nf, frame) ** 2).mean(axis=1))
+                live = np.flatnonzero(rms >= silence_rms)
+                if len(live) == 0:
+                    lo_f, hi_f = 0, 1
+                else:
+                    lo_f, hi_f = int(live[0]), int(live[-1]) + 1
+                lo, hi = lo_f * frame, min(hi_f * frame, len(pcm))
+                y = pcm[lo:hi].astype(np.float32)
+                out.append((cid, bytearray(encode(y, codec)), sr,
+                            int(round(len(y) * 1000.0 / sr)), codec,
+                            int(round(lo * 1000.0 / sr)),
+                            int(round((len(pcm) - hi) * 1000.0 / sr))))
+            yield pd.DataFrame(out, columns=[f.name for f in TRIMMED_SCHEMA])
+
+    return (clips.select("clip_id", "bytes", "sr_hz", "codec")
+            .mapInPandas(trim, TRIMMED_SCHEMA))

@@ -280,9 +280,14 @@ def _blas_pairs_by_block(e: DataFrame, threshold: float) -> DataFrame:
     block's ``(id, blk, vec)`` rows into an Arrow task, numpy computes
     the normalized ``X @ X.T`` (BLAS, dim-vectorized) and emits only
     above-threshold pairs — per-block work is O(n² d) in native code and
-    the quadratic intermediate never leaves the task.  Shared by the
-    labeled (:func:`cosine_near_dup_pairs`) and self-blocking
-    (:func:`cosine_near_dup_pairs_auto`) operators."""
+    the quadratic intermediate never leaves the task.  The Gram matrix
+    is computed in ROW CHUNKS so peak allocation is O(chunk x n), not
+    O(n²) — a hot block stays memory-bounded (n=8k with full
+    ``triu_indices`` would transiently allocate ~1 GB of index arrays
+    alone).  Shared by the labeled (:func:`cosine_near_dup_pairs`),
+    self-blocking (:func:`cosine_near_dup_pairs_auto`), and audio
+    (:func:`drain3_spark.pipeline.audio_sim.audio_near_dup_pairs`)
+    operators."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -297,17 +302,35 @@ def _blas_pairs_by_block(e: DataFrame, threshold: float) -> DataFrame:
         ids = pdf["id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        X = np.asarray([list(v) for v in pdf["vec"].iloc[order]],
-                       dtype=np.float64)
+        # Arrow hands vec as an object column of ndarrays: stack, don't
+        # round-trip through python lists (measured: the list conversion
+        # dominated the task at 1e5 x 64-dim blocks)
+        X = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64,
+                                                          copy=False)
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0.0] = 1.0
-        S = (X / norms[:, None]) @ (X / norms[:, None]).T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        cos = np.round(S[iu, ju], 6)
-        keep = cos >= th
-        return pd.DataFrame({"id_a": ids[iu[keep]].astype("int64"),
-                             "id_b": ids[ju[keep]].astype("int64"),
-                             "cosine": cos[keep]})
+        Xn = X / norms[:, None]
+        n = len(ids)
+        chunk = 1024
+        ia, ib, cs = [], [], []
+        for i0 in range(0, n - 1, chunk):
+            i1 = min(i0 + chunk, n)
+            S = np.round(Xn[i0:i1] @ Xn.T, 6)        # (chunk, n)
+            # strict upper triangle of this row band: j > row index
+            jgrid = np.arange(n)[None, :]
+            igrid = np.arange(i0, i1)[:, None]
+            keep = (S >= th) & (jgrid > igrid)
+            ii, jj = np.nonzero(keep)
+            ia.append(ids[ii + i0])
+            ib.append(ids[jj])
+            cs.append(S[ii, jj])
+        if not ia:
+            return pd.DataFrame({"id_a": np.array([], "int64"),
+                                 "id_b": np.array([], "int64"),
+                                 "cosine": np.array([], "float64")})
+        return pd.DataFrame({"id_a": np.concatenate(ia).astype("int64"),
+                             "id_b": np.concatenate(ib).astype("int64"),
+                             "cosine": np.concatenate(cs)})
 
     return e.groupBy("blk").applyInPandas(block_pairs, out_schema)
 

@@ -1,0 +1,228 @@
+"""Audio similarity / transformation operators (pipeline/audio_sim.py):
+mel embeddings, MFCC, near-dup composition, resampling, silence trim."""
+
+import numpy as np
+import pytest
+
+from drain3_spark import fixtures as FX
+from drain3_spark.audio.codecs import decode, encode, snr_db
+from drain3_spark.audio.synth import clip_params, reference_pcm
+from drain3_spark.pipeline import audio_sim
+
+
+def _embed_np(pcm, sr, n_mels=64, frame_ms=64, hop_ms=32,
+              f_lo=100.0, f_hi=3500.0):
+    E = audio_sim._mel_frames(np.asarray(pcm, np.float64), sr,
+                              frame_ms, hop_ms, n_mels, f_lo, f_hi)
+    v = E.mean(axis=0)
+    n = np.linalg.norm(v)
+    return v / n if n else v
+
+
+def test_audio_embedding_invariances():
+    """Kernel-level: gain / codec / resample copies stay at cosine ~1,
+    distinct clips decorrelate — the properties the near-dup operator
+    is built on."""
+    dup_cos, res_cos, embs = [], [], []
+    rng = np.random.default_rng(11)
+    for i in range(30):
+        cid = f"clip-{i:010d}"
+        p = clip_params(cid)
+        sr, dur, codec = p["sr_hz"], max(p["dur_ms"] % 800, 300), p["codec"]
+        pcm = reference_pcm(cid, sr, dur).astype(np.float64)
+        e = _embed_np(pcm, sr)
+        embs.append(e)
+        # gain + codec round-trip + small noise
+        pert = decode(encode(np.clip(0.9 * pcm, -1, 1).astype(np.float32),
+                             codec), codec).astype(np.float64)
+        pert = pert + 0.002 * rng.uniform(-1, 1, len(pert))
+        dup_cos.append(float(e @ _embed_np(pert, sr)))
+        # linear-interp resample to 8 kHz
+        if sr != 8000:
+            t_new = np.arange(int(len(pcm) * 8000 / sr)) / 8000.0
+            t_old = np.arange(len(pcm)) / float(sr)
+            res_cos.append(float(e @ _embed_np(
+                np.interp(t_new, t_old, pcm), 8000)))
+    assert min(dup_cos) > 0.9995, min(dup_cos)
+    assert min(res_cos) > 0.9995, min(res_cos)
+    E = np.array(embs)
+    G = E @ E.T
+    iu = np.triu_indices(len(embs), 1)
+    # most distinct pairs are decorrelated; the exceptions are clips
+    # whose tones genuinely share a mel band (true spectral near-dups)
+    assert float((G[iu] < 0.9).mean()) > 0.9
+
+
+def test_audio_near_dup_planted(spark):
+    """Planted perturbed duplicates are all found; the operator's output
+    matches a numpy brute force over the same embeddings (exact
+    cosines, candidate-bounded recall >= 0.9)."""
+    n, every = 60, 10
+    clips = FX.gen_clips(spark, n, dirty=False, dur_lo=250, dur_hi=600)
+    dups = FX.gen_clip_dups(spark, n, every=every, dur_lo=250, dur_hi=600)
+    corpus = clips.unionByName(dups)
+
+    th = 0.999
+    got = {(r.clip_id_a, r.clip_id_b): r.cosine
+           for r in audio_sim.audio_near_dup_pairs(
+               corpus, threshold=th).collect()}
+
+    # numpy brute force over the SAME embeddings (same 6-dp rounding)
+    emb = {r.clip_id: np.array(r.embedding)
+           for r in audio_sim.audio_embeddings(corpus).collect()
+           if r.embedding is not None}
+    ids = sorted(emb)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = round(float(emb[a] @ emb[b]), 6)
+            if c >= th:
+                truth[(a, b)] = c
+    planted = {(f"clip-{i:010d}", f"dup-{i:010d}") for i in range(0, n, every)}
+
+    assert planted <= set(truth)                      # dups survive threshold
+    assert planted <= set(got)                        # ...and are found
+    assert set(got) <= set(truth)                     # precision 1
+    assert len(got) >= 0.9 * len(truth)               # multi-probe recall
+    for k, v in got.items():
+        assert abs(v - truth[k]) <= 1e-6              # exact cosines
+
+
+def test_audio_mfcc_gain_invariance(spark):
+    """Gain moves only MFCC c0 (log-energy offset on the DCT constant
+    basis); c1.. are invariant."""
+    rows = []
+    for i in range(4):
+        cid = f"m-{i}"
+        pcm = reference_pcm(f"clip-{i:010d}", 16000, 400)
+        for tag, g in (("a", 1.0), ("b", 0.25)):
+            rows.append((f"{cid}{tag}",
+                         bytearray(encode((g * pcm).astype(np.float32),
+                                          "pcm_f32le")),
+                         16000, 400, "pcm_f32le"))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    got = {r.clip_id: np.array(r.mfcc)
+           for r in audio_sim.audio_mfcc(df).collect()}
+    for i in range(4):
+        a, b = got[f"m-{i}a"], got[f"m-{i}b"]
+        assert np.allclose(a[1:], b[1:], atol=1e-9)
+        assert abs(a[0] - b[0]) > 1.0        # c0 carries the gain offset
+
+
+def test_audio_mfcc_orders_spectral_content(spark):
+    """A low tone and a high tone produce distinct MFCC vectors while
+    two encodings of the same tone agree — MFCCs track content."""
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    low = (0.7 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    high = (0.7 * np.sin(2 * np.pi * 2000 * t)).astype(np.float32)
+    rows = [("low", bytearray(encode(low, "pcm_s16le")), sr, 500, "pcm_s16le"),
+            ("low2", bytearray(encode(low, "pcm_f32le")), sr, 500, "pcm_f32le"),
+            ("high", bytearray(encode(high, "pcm_s16le")), sr, 500, "pcm_s16le")]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    got = {r.clip_id: np.array(r.mfcc)
+           for r in audio_sim.audio_mfcc(df).collect()}
+    same = np.linalg.norm(got["low"] - got["low2"])
+    diff = np.linalg.norm(got["low"] - got["high"])
+    # log-mel hears the codec noise floor (s16 vs f32), so same-content
+    # distance is nonzero — but content distance dominates it
+    assert diff > 3 * same > 0.0, (same, diff)
+
+
+def test_resample_preserves_content(spark):
+    """Resampled clips keep their spectral content: embedding cosine
+    vs the original ~1 for every clip, and a float-codec clip decodes
+    at SNR >= 30 dB against an analytic resample."""
+    clips = FX.gen_clips(spark, 30, dirty=False, dur_lo=250, dur_hi=600)
+    rs = audio_sim.resample_clips(clips, 8000)
+    out = {r.clip_id: r for r in rs.collect()}
+    assert set(out) == {f"clip-{i:010d}" for i in range(30)}
+    assert all(r.sr_hz == 8000 for r in out.values())
+
+    e_orig = {r.clip_id: np.array(r.embedding)
+              for r in audio_sim.audio_embeddings(clips).collect()}
+    e_rs = {r.clip_id: np.array(r.embedding)
+            for r in audio_sim.audio_embeddings(rs).collect()}
+    cos = [float(e_orig[c] @ e_rs[c]) for c in e_orig]
+    assert min(cos) > 0.999, min(cos)
+
+    # exact-content check on a clean float clip
+    pcm = reference_pcm("clip-0000000042", 16000, 500)
+    df = spark.createDataFrame(
+        [("x", bytearray(encode(pcm, "pcm_f32le")), 16000, 500, "pcm_f32le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    row = audio_sim.resample_clips(df, 8000).collect()[0]
+    got = decode(bytes(row.bytes), "pcm_f32le").astype(np.float64)
+    t_new = np.arange(len(got)) / 8000.0
+    t_old = np.arange(len(pcm)) / 16000.0
+    want = np.interp(t_new, t_old, pcm.astype(np.float64))
+    assert snr_db(want, got) >= 30.0
+    assert row.dur_ms == 500
+    # same-rate clips pass through byte-identical
+    same = audio_sim.resample_clips(df, 16000).collect()[0]
+    assert bytes(same.bytes) == bytes(encode(pcm, "pcm_f32le"))
+
+
+def test_trim_silence(spark):
+    sr = 16000
+    t = np.arange(int(sr * 0.3)) / sr
+    tone = 0.6 * np.sin(2 * np.pi * 440 * t)
+    pcm = np.concatenate([np.zeros(int(sr * 0.10)), tone,
+                          np.zeros(int(sr * 0.15))]).astype(np.float32)
+    silent = np.zeros(int(sr * 0.2), dtype=np.float32)
+    df = spark.createDataFrame(
+        [("padded", bytearray(encode(pcm, "pcm_f32le")), sr, 550, "pcm_f32le"),
+         ("silent", bytearray(encode(silent, "pcm_f32le")), sr, 200,
+          "pcm_f32le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    got = {r.clip_id: r for r in audio_sim.trim_silence(df).collect()}
+
+    p = got["padded"]
+    assert abs(p.trimmed_lead_ms - 100) <= 20
+    assert abs(p.trimmed_tail_ms - 150) <= 20
+    assert abs(p.dur_ms - 300) <= 40
+    kept = decode(bytes(p.bytes), "pcm_f32le").astype(np.float64)
+    lead = int(sr * p.trimmed_lead_ms / 1000)
+    want = pcm.astype(np.float64)[lead:lead + len(kept)]
+    assert snr_db(want, kept) >= 60.0       # pure slice, float codec
+
+    s = got["silent"]                       # all-silent: one frame kept
+    assert s.dur_ms == 20
+    assert s.trimmed_lead_ms + s.trimmed_tail_ms + s.dur_ms == 200
+
+
+def test_audio_near_dup_blas_matches_catalyst(spark):
+    """The audio near-dup's BLAS scale path returns the same pairs as
+    the Catalyst expression path (cosines to float tolerance)."""
+    clips = FX.gen_clips(spark, 40, dirty=False, dur_lo=250, dur_hi=600)
+    dups = FX.gen_clip_dups(spark, 40, every=10, dur_lo=250, dur_hi=600)
+    corpus = clips.unionByName(dups)
+    cat = {(r.clip_id_a, r.clip_id_b): r.cosine
+           for r in audio_sim.audio_near_dup_pairs(corpus, 0.999).collect()}
+    blas = {(r.clip_id_a, r.clip_id_b): r.cosine
+            for r in audio_sim.audio_near_dup_pairs(
+                corpus, 0.999, method="blas").collect()}
+    assert set(cat) == set(blas) and cat
+    assert all(abs(cat[k] - blas[k]) <= 1e-6 for k in cat)
+
+
+def test_mel_frames_many_matches_single():
+    """The batched mel kernel matches the per-clip kernel to float
+    rounding (pocketfft's cross-transform vectorization reorders
+    additions by batch shape), across lengths incl. sub-frame clips
+    needing padding."""
+    rng = np.random.default_rng(5)
+    for sr in (8000, 44100):
+        pcms = [rng.uniform(-1, 1, n) for n in (100, 700, 5000, 16000)]
+        E, counts = audio_sim._mel_frames_many(pcms, sr, 64, 32, 64,
+                                               100.0, 3500.0)
+        pos = 0
+        for pcm, nf in zip(pcms, counts):
+            single = audio_sim._mel_frames(pcm, sr, 64, 32, 64, 100.0, 3500.0)
+            assert single.shape[0] == nf
+            assert np.allclose(E[pos:pos + nf], single,
+                               rtol=1e-12, atol=1e-12)
+            pos += nf
+        assert pos == E.shape[0]

@@ -141,3 +141,77 @@ def test_q37_spectral_aggregates_pin(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+# --------------------------------------------------------------- q39
+
+def test_q39_neardup_planted_pin(spark):
+    """Every planted duplicate pair appears in the graded query's
+    output at cosine >= the threshold, and the output is a subset of a
+    local numpy brute force over the same embeddings (precision 1)."""
+    from drain3_spark.pipeline.audio_sim import audio_embeddings
+
+    got = {(r.clip_id_a, r.clip_id_b): r.cosine
+           for r in entry.queries()["q39_audio_neardup"](spark, SF).collect()}
+    planted = {(f"clip-{i:010d}", f"dup-{i:010d}") for i in range(0, 200, 10)}
+    assert planted <= set(got)
+    assert all(v >= 0.999 for v in got.values())
+
+    base = FX.gen_clips(spark, 200, dirty=False, dur_lo=250, dur_hi=600)
+    dups = FX.gen_clip_dups(spark, 200, every=10, dur_lo=250, dur_hi=600)
+    emb = {r.clip_id: np.array(r.embedding)
+           for r in audio_embeddings(base.unionByName(dups)).collect()
+           if r.embedding is not None}
+    ids = sorted(emb)
+    truth = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if round(float(emb[a] @ emb[b]), 6) >= 0.999}
+    assert set(got) <= truth
+    assert len(got) >= 0.9 * len(truth)    # multi-probe recall bound
+
+
+# --------------------------------------------------------------- q40
+
+def test_q40_mfcc_aggregates_pin(spark):
+    """Graded MFCC aggregates == an independent local replay: decode
+    each fixture clip's regenerated PCM and push it through the same
+    mel/DCT math with plain numpy on the driver."""
+    from drain3_spark.audio.codecs import decode, encode
+    from drain3_spark.pipeline import audio_sim
+
+    row = entry.queries()["q40_audio_mfcc"](spark, SF).collect()[0]
+    assert row.n_clips == 200
+
+    k = np.arange(13)[:, None]
+    n = np.arange(26)[None, :]
+    dct = np.cos(np.pi * k * (2 * n + 1) / 52.0) * np.sqrt(2.0 / 26)
+    dct[0] /= np.sqrt(2.0)
+    cs = []
+    for i in range(200):
+        m = FX.row_meta(i, n_ds=7, dur_lo=200, dur_hi=600, dirty=False)
+        from drain3_spark.audio.synth import reference_pcm
+        pcm = reference_pcm(m["clip_id"], m["sr_hz"], m["dur_ms"])
+        # codec round-trip exactly as the clips table stores it
+        pcm = decode(encode(pcm, m["codec"]), m["codec"]).astype(np.float64)
+        E = audio_sim._mel_frames(pcm, m["sr_hz"], 64, 32, 26, 100.0, 3500.0)
+        cs.append((np.log(E + 1e-12) @ dct.T).mean(axis=0))
+    C = np.array(cs)
+    assert abs(row.avg_c0 - round(float(C[:, 0].mean()), 2)) <= 0.01
+    assert abs(row.avg_c1 - round(float(C[:, 1].mean()), 4)) <= 1e-3
+    assert abs(row.avg_c2 - round(float(C[:, 2].mean()), 4)) <= 1e-3
+    assert abs(row.avg_abs_c12
+               - round(float(np.abs(C[:, 12]).mean()), 4)) <= 1e-3
+
+
+# --------------------------------------------------------------- q41
+
+def test_q41_resample_aggregates_pin(spark):
+    """After resampling to 8 kHz, the dominant-frequency average still
+    tracks the mean synthesis frequency (all tones sit far below the
+    new 4 kHz Nyquist), and no silence appears."""
+    row = entry.queries()["q41_audio_resample"](spark, SF).collect()[0]
+    assert row.n_clips == 150
+    freqs = [clip_params(FX.row_meta(i, n_ds=7, dur_lo=250, dur_hi=600,
+                                     dirty=False)["clip_id"])["freq"]
+             for i in range(150)]
+    assert abs(row.avg_dominant_hz - np.mean(freqs)) <= 2.5
+    assert row.avg_silence == 0.0
