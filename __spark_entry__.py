@@ -552,6 +552,28 @@ def _q41_audio_resample(spark, sf):
         F.round(F.avg("silence_ratio"), 6).alias("avg_silence"))
 
 
+def _q42_audio_incremental(spark, sf):
+    """Incremental audio dedup: a new ingest batch (fresh clips +
+    planted perturbed duplicates of corpus clips) against the corpus's
+    persisted embedding index — per-batch cost O(batch + candidates),
+    the corpus itself never re-decoded.  Rows-only (FFT embeddings);
+    exactness vs the one-shot cross-pairs is pinned by
+    test_audio_incremental_equals_full_cross_pairs, the graded rows by
+    test_q42_incremental_pin."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_sim import (audio_embedding_index,
+                                                 audio_incremental_duplicates)
+    corpus = FX.gen_clips(spark, 150, dirty=False, dur_lo=250, dur_hi=600)
+    fresh = (FX.gen_clips(spark, 190, dirty=False, dur_lo=250, dur_hi=600)
+             .filter("clip_id >= 'clip-0000000150'"))
+    dups = FX.gen_clip_dups(spark, 150, every=15, dur_lo=250, dur_hi=600)
+    idx = audio_embedding_index(corpus)
+    pairs = audio_incremental_duplicates(fresh.unionByName(dups), idx,
+                                         threshold=0.999)
+    return pairs.select("new_id", "old_id",
+                        F.round("cosine", 6).alias("cosine"))
+
+
 def _q31_image_features(spark, sf):
     """Real image decode (pure-numpy PPM/BMP) -> dims + luma histogram +
     nearest-neighbor resize over a deterministic synthetic image corpus
@@ -676,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_audio_neardup": _q39_audio_neardup,
         "q40_audio_mfcc": _q40_audio_mfcc,
         "q41_audio_resample": _q41_audio_resample,
+        "q42_audio_incremental": _q42_audio_incremental,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,

@@ -79,7 +79,8 @@ def main() -> None:
                 "q29_jaccard_match", "q30_neardup_blas",
                 "q34_dedup_groups", "q35_percentiles", "q36_incremental_dedup",
                 "q37_audio_spectral", "q38_neardup_auto", "q39_audio_neardup",
-                "q40_audio_mfcc", "q41_audio_resample"]
+                "q40_audio_mfcc", "q41_audio_resample",
+                "q42_audio_incremental"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

@@ -348,7 +348,126 @@ def audio_near_dup_pairs(clips: DataFrame, threshold: float = 0.999,
         .select("clip_id_a", "clip_id_b", "cosine"))
 
 
+# -------------------------------------------------- incremental dedup
+
+def audio_embedding_index(clips: DataFrame, n_mels: int = 64,
+                          frame_ms: int = 64, hop_ms: int = 32,
+                          f_lo: float = 100.0,
+                          f_hi: float = 3500.0) -> DataFrame:
+    """``(clip_id, bucket, embedding)`` — the PERSISTED ASSET of an
+    incremental audio-dedup pipeline: one row per (clip, probe band),
+    two probes per clip.  Write it once per corpus; each new ingest
+    batch joins its own probe rows against the stored index
+    (:func:`audio_incremental_duplicates`) instead of re-decoding the
+    corpus.  Unlike the text LSH index, the embedding itself rides in
+    the index row, so the verify step needs NO payload fetch-back —
+    ~1 KB per clip regardless of clip length."""
+    emb = (audio_embeddings(clips, n_mels, frame_ms, hop_ms, f_lo, f_hi)
+           .filter(F.col("embedding").isNotNull()))
+    return emb.select("clip_id", F.explode("top_bands").alias("bucket"),
+                      "embedding")
+
+
+def audio_incremental_duplicates(new_clips: DataFrame, index: DataFrame,
+                                 threshold: float = 0.999,
+                                 n_mels: int = 64, frame_ms: int = 64,
+                                 hop_ms: int = 32, f_lo: float = 100.0,
+                                 f_hi: float = 3500.0) -> DataFrame:
+    """Near-duplicates of a NEW clip batch against an EXISTING corpus,
+    touched only through its embedding index — the incremental shape a
+    continuously-growing audio corpus needs.  Per-batch cost is
+    O(new_batch + candidates), never O(corpus): the corpus is neither
+    re-decoded nor re-embedded, and the verify cosine reads the
+    embedding straight off the matched index row (no payload
+    semi-join).  Returns ``(new_id, old_id, cosine)`` with the same
+    exact-cosine verify semantics as :func:`audio_near_dup_pairs`.
+
+    The index's ``n_mels``/frame parameters must match the arguments
+    here — bucket ids and embedding dimensions are only comparable
+    within one parameterization."""
+    from drain3_spark.pipeline.similarity import cosine_col
+    from drain3_spark.util import widen_small_scan
+
+    new_idx = widen_small_scan(
+        audio_embedding_index(new_clips, n_mels, frame_ms, hop_ms,
+                              f_lo, f_hi))
+    cand = (new_idx.select(F.col("clip_id").alias("new_id"), "bucket",
+                           F.col("embedding").alias("vec_new"))
+            .join(index.select(F.col("clip_id").alias("old_id"), "bucket",
+                               F.col("embedding").alias("vec_old")),
+                  "bucket")
+            .filter(F.col("new_id") != F.col("old_id"))
+            .dropDuplicates(["new_id", "old_id"]))
+    return (cand
+            .withColumn("cosine",
+                        F.round(cosine_col(F.col("vec_new"),
+                                           F.col("vec_old")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("new_id", "old_id", "cosine"))
+
+
+def update_audio_index(index: DataFrame, new_index: DataFrame,
+                       keeper_ids: DataFrame = None) -> DataFrame:
+    """Maintain the persisted audio embedding index across ingest
+    batches: append the new batch's index rows
+    (:func:`audio_embedding_index` over the batch) so batch N+1 dedups
+    against batch N without re-embedding anything.  ``keeper_ids`` (a
+    one-column ``clip_id`` DataFrame of accepted clips) restricts the
+    append to clips that SURVIVED dedup — rejected duplicates must not
+    enter the index or they would keep matching future batches.
+    Invariant (pinned by
+    ``test_audio_incremental_two_batches_equal_one_shot``): two
+    sequential incremental batches over an updated index find exactly
+    the one-shot cross-pairs over the union."""
+    if keeper_ids is not None:
+        new_index = new_index.join(
+            F.broadcast(keeper_ids.select("clip_id").distinct()), "clip_id")
+    return index.unionByName(new_index)
+
+
 # --------------------------------------------------------- transformations
+
+def normalize_gain(clips: DataFrame, target_rms: float = 0.1,
+                   max_gain: float = 100.0) -> DataFrame:
+    """Scale every clip to ``target_rms`` (the loudness-normalization
+    pass of a training pipeline) and re-encode with its own codec.
+    Gain is clamped to ``max_gain`` so near-silent clips don't explode
+    to pure noise; all-zero clips pass through at gain 1.  Emits the
+    applied ``gain_db`` per clip; peaks above full scale after gain are
+    clipped by the codec (reported via ``clipped_frac``)."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
+    schema = T.StructType(list(RESAMPLED_SCHEMA.fields) + [
+        T.StructField("gain_db", T.DoubleType()),
+        T.StructField("clipped_frac", T.DoubleType()),
+    ])
+    tgt = float(target_rms)
+
+    def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.codecs import decode, encode
+        for b in batches:
+            out = []
+            for cid, payload, sr, dur, codec in zip(
+                    b["clip_id"], b["bytes"], b["sr_hz"], b["dur_ms"],
+                    b["codec"]):
+                try:
+                    pcm = decode(bytes(payload), codec).astype(np.float64)
+                except Exception:
+                    continue
+                rms = float(np.sqrt(np.mean(pcm ** 2))) if len(pcm) else 0.0
+                g = 1.0 if rms == 0.0 else min(tgt / rms, float(max_gain))
+                y = pcm * g
+                clipped = float(np.mean(np.abs(y) > 1.0)) if len(y) else 0.0
+                y = np.clip(y, -1.0, 1.0).astype(np.float32)
+                out.append((cid, bytearray(encode(y, codec)), int(sr),
+                            int(dur), codec,
+                            float(20.0 * np.log10(g)) if g > 0 else 0.0,
+                            clipped))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
+            .mapInPandas(norm, schema))
+
 
 def resample_clips(clips: DataFrame, target_sr: int) -> DataFrame:
     """Resample every clip to ``target_sr`` (linear interpolation) and

@@ -226,3 +226,94 @@ def test_mel_frames_many_matches_single():
                                rtol=1e-12, atol=1e-12)
             pos += nf
         assert pos == E.shape[0]
+
+
+def test_audio_incremental_equals_full_cross_pairs(spark):
+    """Incremental dedup of a new batch against the corpus index finds
+    exactly the cross-pairs the one-shot operator finds over the
+    union (restricted to new x old)."""
+    corpus = FX.gen_clips(spark, 40, dirty=False, dur_lo=250, dur_hi=600)
+    # batch: 10 fresh clips + planted dups of corpus clips 0,10,20,30
+    fresh = FX.gen_clips(spark, 50, dirty=False, dur_lo=250,
+                         dur_hi=600).filter("clip_id >= 'clip-0000000040'")
+    dups = FX.gen_clip_dups(spark, 40, every=10, dur_lo=250, dur_hi=600)
+    batch = fresh.unionByName(dups)
+
+    idx = audio_sim.audio_embedding_index(corpus)
+    got = {(r.new_id, r.old_id): r.cosine
+           for r in audio_sim.audio_incremental_duplicates(
+               batch, idx, threshold=0.999).collect()}
+
+    full = audio_sim.audio_near_dup_pairs(
+        corpus.unionByName(batch), threshold=0.999).collect()
+    corpus_ids = {f"clip-{i:010d}" for i in range(40)}
+    want = {}
+    for r in full:
+        a, b = r.clip_id_a, r.clip_id_b
+        if (a in corpus_ids) != (b in corpus_ids):     # cross pairs only
+            new, old = (b, a) if a in corpus_ids else (a, b)
+            want[(new, old)] = r.cosine
+    assert set(got) == set(want)
+    planted = {(f"dup-{i:010d}", f"clip-{i:010d}") for i in range(0, 40, 10)}
+    assert planted <= set(got)
+    for k in got:
+        assert abs(got[k] - want[k]) <= 1e-6
+
+
+def test_audio_incremental_two_batches_equal_one_shot(spark):
+    """Index maintenance: dedup batch1, update the index with batch1's
+    keepers, dedup batch2 — batch2's matches against batch1 keepers
+    appear, and rejected duplicates never re-enter the index."""
+    corpus = FX.gen_clips(spark, 20, dirty=False, dur_lo=250, dur_hi=600)
+    b1 = FX.gen_clip_dups(spark, 20, every=10, dur_lo=250,
+                          dur_hi=600)            # dup-0, dup-10 (both dups)
+    idx = audio_sim.audio_embedding_index(corpus)
+
+    r1 = audio_sim.audio_incremental_duplicates(b1, idx, 0.999).collect()
+    dup_new_ids = {r.new_id for r in r1}
+    assert dup_new_ids == {"dup-0000000000", "dup-0000000010"}
+
+    # no keeper from b1 (all were duplicates): index must NOT grow with
+    # them, so a b2 clone of dup-0 matches clip-0 but NOT dup-0
+    keepers = spark.createDataFrame([], "clip_id string")
+    b1_idx = audio_sim.audio_embedding_index(b1)
+    idx2 = audio_sim.update_audio_index(idx, b1_idx, keeper_ids=keepers)
+    assert idx2.count() == idx.count()
+
+    r2 = audio_sim.audio_incremental_duplicates(b1, idx2, 0.999).collect()
+    olds = {r.old_id for r in r2}
+    assert "dup-0000000000" not in olds and "dup-0000000010" not in olds
+
+    # with keepers accepted, batch2 DOES match against them
+    keepers2 = b1.select("clip_id")
+    idx3 = audio_sim.update_audio_index(idx, b1_idx, keeper_ids=keepers2)
+    r3 = audio_sim.audio_incremental_duplicates(b1, idx3, 0.999).collect()
+    self_pairs = {(r.new_id, r.old_id) for r in r3}
+    # each dup now also matches its own index copy? no — self-matches
+    # are filtered; it matches the OTHER planted dup's base only via
+    # clip ids, so assert the clip-base pairs remain
+    assert {("dup-0000000000", "clip-0000000000"),
+            ("dup-0000000010", "clip-0000000010")} <= self_pairs
+
+
+def test_normalize_gain(spark):
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    quiet = (0.05 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    loud = (0.9 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    silent = np.zeros(sr // 4, dtype=np.float32)
+    df = spark.createDataFrame(
+        [("quiet", bytearray(encode(quiet, "pcm_f32le")), sr, 500, "pcm_f32le"),
+         ("loud", bytearray(encode(loud, "pcm_f32le")), sr, 500, "pcm_f32le"),
+         ("silent", bytearray(encode(silent, "pcm_f32le")), sr, 250,
+          "pcm_f32le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    got = {r.clip_id: r
+           for r in audio_sim.normalize_gain(df, target_rms=0.1).collect()}
+    for cid in ("quiet", "loud"):
+        pcm = decode(bytes(got[cid].bytes), "pcm_f32le").astype(np.float64)
+        assert abs(float(np.sqrt(np.mean(pcm ** 2))) - 0.1) < 1e-3, cid
+    assert got["quiet"].gain_db > 0 and got["loud"].gain_db < 0
+    s = got["silent"]
+    assert s.gain_db == 0.0
+    assert np.all(decode(bytes(s.bytes), "pcm_f32le") == 0.0)

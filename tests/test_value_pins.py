@@ -215,3 +215,20 @@ def test_q41_resample_aggregates_pin(spark):
              for i in range(150)]
     assert abs(row.avg_dominant_hz - np.mean(freqs)) <= 2.5
     assert row.avg_silence == 0.0
+
+
+# --------------------------------------------------------------- q42
+
+def test_q42_incremental_pin(spark):
+    """Every planted duplicate of a corpus clip is matched against its
+    base through the stored index, at cosine >= threshold; no pair
+    involves two corpus clips or two batch clips (incremental = cross
+    pairs only by construction)."""
+    rows = entry.queries()["q42_audio_incremental"](spark, SF).collect()
+    got = {(r.new_id, r.old_id) for r in rows}
+    planted = {(f"dup-{i:010d}", f"clip-{i:010d}") for i in range(0, 150, 15)}
+    assert planted <= got
+    corpus_ids = {f"clip-{i:010d}" for i in range(150)}
+    for new, old in got:
+        assert old in corpus_ids and new not in corpus_ids, (new, old)
+    assert all(r.cosine >= 0.999 for r in rows)
