@@ -29,6 +29,7 @@ from drain3_spark.audio.synth import (CODEC_CHOICES, CODEC_WEIGHTS, SR_CHOICES,
 
 # --- check names shared with the validation runner (exact-match contract) ---
 CHECK_UNIQUENESS = "uniqueness"
+CHECK_UNIQUENESS_CROSS = "uniqueness_cross_batch"
 CHECK_REF_MISSING = "referential_missing_ref"
 CHECK_REF_ORPHAN = "referential_orphan"
 CHECK_NULL_TRANSCRIPT = "null_transcript"

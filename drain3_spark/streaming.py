@@ -29,6 +29,24 @@ from drain3_spark.state.store import CheckpointStore
 from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
 
 
+def _read_prior_seen(spark: SparkSession, seen_dir: str,
+                     batch_id: int) -> Optional[DataFrame]:
+    """Seen-id rows from batches BEFORE ``batch_id`` (None if no prior
+    batch has committed ids).  Local-FS directory listing here; on a
+    cluster the index would be a partitioned catalog table and this is
+    a partition-pruned scan."""
+    import os
+    if not os.path.isdir(seen_dir):
+        return None
+    parts = [d for d in os.listdir(seen_dir)
+             if d.startswith("batch=") and int(d.split("=")[1]) < batch_id]
+    if not parts:
+        return None
+    df = spark.read.option("basePath", seen_dir).parquet(
+        *[f"{seen_dir}/{d}" for d in parts])
+    return df
+
+
 def make_batch_processor(store: CheckpointStore,
                          cfg: EngineConfig,
                          engine: ValidationEngine,
@@ -70,10 +88,39 @@ def make_batch_processor(store: CheckpointStore,
             f"{out_dir}/assignments/batch={batch_id}")
         if validate:
             report = engine.validate(batch_df, include_orphans=False)
-            report.violations.write.mode("overwrite").parquet(
+            violations = report.violations
+            # cross-batch uniqueness: the per-batch engine can only see
+            # duplicates WITHIN a micro-batch; a clip_id that already
+            # arrived in an earlier batch is caught against the
+            # persisted seen-id index (the streaming analog of the
+            # dedup family's stored band/embedding indexes — tiny
+            # (clip_id, ds) rows, partitioned by batch so at-least-once
+            # replay overwrites its own partition idempotently; at
+            # cluster scale this read is a catalog partition listing,
+            # not a directory walk)
+            seen_dir = f"{out_dir}/seen_ids"
+            prior = _read_prior_seen(spark, seen_dir, batch_id)
+            if prior is not None:
+                from drain3_spark.fixtures import CHECK_UNIQUENESS_CROSS
+                cross = (batch_df.select("clip_id", "ds").distinct()
+                         .join(prior.select("clip_id",
+                                            F.col("batch").alias("_b")),
+                               "clip_id")
+                         .groupBy("clip_id", "ds")
+                         .agg(F.min("_b").alias("_first"))
+                         .select("clip_id", "ds",
+                                 F.lit(CHECK_UNIQUENESS_CROSS).alias("check"),
+                                 F.concat(F.lit("first_seen_batch="),
+                                          F.col("_first").cast("string"))
+                                 .alias("detail")))
+                violations = violations.unionByName(cross)
+            violations.write.mode("overwrite").parquet(
                 f"{out_dir}/violations/batch={batch_id}")
             report.partition_report.write.mode("overwrite").parquet(
                 f"{out_dir}/partition_report/batch={batch_id}")
+            (batch_df.select("clip_id", "ds").distinct()
+             .write.mode("overwrite")
+             .parquet(f"{seen_dir}/batch={batch_id}"))
             report.violations.unpersist()
         # monotonic: prior + created, never max(live ids) (see jobs.py)
         new_counter = mined.updated_counter()

@@ -481,3 +481,40 @@ def test_stateful_streaming_miner(spark, tmp_path):
     got = {cid: r.template_mined for cid, r in rows.items()}
     assert got == want
     res.unpersist()
+
+
+def test_streaming_cross_batch_uniqueness(spark, tmp_path):
+    """A clip_id arriving again in a LATER micro-batch is flagged
+    against the persisted seen-id index (the per-batch engine only sees
+    within-batch duplicates); the index write is batch-partitioned so
+    replay overwrites idempotently."""
+    clips = FX.gen_clips(spark, 60, n_ds=2, dur_lo=200, dur_hi=400).cache()
+    b1 = clips.filter(F.col("ds") == "2026-08-01")
+    # batch 2 = its own ds PLUS three clips replayed from batch 1
+    dup_ids = [r.clip_id for r in b1.select("clip_id").limit(3).collect()]
+    b2 = clips.filter(F.col("ds") == "2026-08-02").unionByName(
+        b1.filter(F.col("clip_id").isin(dup_ids)))
+
+    src = str(tmp_path / "incoming")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/f_a")
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/f_b")
+    os.utime(f"{src}/f_a", (1, 1))     # deterministic arrival order
+
+    run_streaming(
+        spark, f"{src}/f_*", clips.schema,
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "out"),
+        cfg=EngineConfig(), validate=True, max_files_per_trigger=1)
+
+    viol = spark.read.option("basePath", str(tmp_path / "out" / "violations")) \
+        .parquet(str(tmp_path / "out" / "violations"))
+    cross = viol.filter(F.col("check") == "uniqueness_cross_batch").collect()
+    assert {r.clip_id for r in cross} == set(dup_ids)
+    assert all(r.detail == "first_seen_batch=0" for r in cross)
+    # within-batch engine rows unaffected; no cross rows in batch 0
+    b0 = spark.read.parquet(str(tmp_path / "out" / "violations" / "batch=0"))
+    assert b0.filter(F.col("check") == "uniqueness_cross_batch").count() == 0
+    # seen index holds each batch's distinct ids, batch-partitioned
+    seen = spark.read.option("basePath", str(tmp_path / "out" / "seen_ids")) \
+        .parquet(str(tmp_path / "out" / "seen_ids"))
+    assert seen.filter(F.col("batch") == 0).count() == b1.count()
+    clips.unpersist()
