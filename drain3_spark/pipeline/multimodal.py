@@ -343,20 +343,22 @@ def decode_image(payload: bytes) -> np.ndarray:
     Decoders, in order:
 
     1. library-free decoders dispatched on magic bytes: binary PPM
-       (P6), PGM (P5), 24-bit BI_RGB BMP, and — via stdlib zlib —
-       8-bit non-interlaced PNG (gray / RGB / palette / alpha-dropped
-       GA+RGBA, all five standard scanline filters); the image path is
+       (P6), PGM (P5), 24-bit BI_RGB BMP, 8-bit non-interlaced PNG
+       (stdlib zlib; gray / RGB / palette / alpha-dropped GA+RGBA, all
+       five scanline filters), and baseline JPEG
+       (:mod:`drain3_spark.pipeline.jpeg`: SOF0 sequential, gray +
+       YCbCr 4:4:4/4:2:2/4:2:0, restart markers); the image path is
        real end-to-end without any media library, and the output
-       (incl. channel count: PGM/gray-PNG stay 1-channel) is identical
-       in every environment;
+       (incl. channel count: PGM/gray-PNG/gray-JPEG stay 1-channel) is
+       identical in every environment;
     2. Pillow for OTHER formats, auto-detected when importable; a
-       genuine Pillow decode failure (corrupt PNG/JPEG, junk bytes) is
+       genuine Pillow decode failure (corrupt payload, junk bytes) is
        re-raised CHAINED as ``ValueError`` — it must not masquerade as
        "Pillow missing" when the library is present;
     3. ``NotImplementedError`` only when Pillow is genuinely absent:
-       compressed formats (PNG/JPEG/...) need a codec library this
-       container does not ship — a declared stub, same mapInPandas
-       shape either way.
+       remaining compressed formats (GIF/WebP/TIFF/...) need a codec
+       library this container does not ship — a declared stub, same
+       mapInPandas shape either way.
     """
     raw = bytes(payload)
     if raw[:2] in (b"P5", b"P6"):
@@ -365,6 +367,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(raw)
     if raw[:8] == _PNG_SIG:
         return _decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        from drain3_spark.pipeline.jpeg import decode_jpeg
+        return decode_jpeg(raw)
     try:
         from PIL import Image  # optional dependency, absent here
     except ImportError:

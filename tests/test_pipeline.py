@@ -457,13 +457,15 @@ def test_image_decode_real_formats(spark):
     dec = multimodal.decode_image(pgm)
     assert dec.shape == (5, 9, 1) and np.array_equal(dec[:, :, 0], gray)
 
-    # PNG is a real decoder now: a corrupt payload (signature but no
-    # IHDR) is a decode ERROR, not a missing-codec stub
+    # PNG and JPEG are real decoders now: corrupt payloads (signature
+    # but truncated structure) are decode ERRORS, not missing-codec stubs
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
-    # formats without a library-free decoder (JPEG) stay declared stubs
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0....")
+    # formats without a library-free decoder (GIF) stay declared stubs
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"GIF89a......")
 
 
 def _encode_y4m(frames_rgb):
