@@ -337,6 +337,187 @@ def encode_png(img: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """GIF-variant LZW: variable code width starting at
+    ``min_code_size``+1, CLEAR and END codes, width grows after the
+    table fills (cap 12 bits).  Returns ``expected`` pixel indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(expected, np.uint8)
+    n_out = 0
+    acc = bits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev = None
+    while n_out < expected:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << bits    # LSB-first packing
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        take = min(len(entry), expected - n_out)
+        out[n_out:n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        prev = entry
+    if n_out < expected:
+        raise ValueError("GIF pixel data short")
+    return out
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a as (H, W, 3) uint8 (palette mapped;
+    transparency index rendered as its palette color — single-image
+    decode, no compositing)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags = struct.unpack_from("<HHB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:                 # trailer
+            break
+        if b0 == 0x21:                 # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block {b0:#x}")
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(data[pos:pos + 3 * n],
+                                np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without color table")
+        min_code = data[pos]
+        pos += 1
+        chunks = []
+        while data[pos] != 0:
+            ln = data[pos]
+            chunks.append(data[pos + 1: pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(b"".join(chunks), min_code, iw * ih).reshape(ih, iw)
+        if iflags & 0x40:              # interlaced: 4-pass row order
+            rows = np.concatenate([np.arange(0, ih, 8),
+                                   np.arange(4, ih, 8),
+                                   np.arange(2, ih, 4),
+                                   np.arange(1, ih, 2)])
+            deinter = np.empty_like(idx)
+            deinter[rows] = idx
+            idx = deinter
+        return np.ascontiguousarray(pal[idx])
+    raise ValueError("GIF missing image descriptor")
+
+
+def encode_gif(idx: np.ndarray, palette: np.ndarray,
+               interlace: bool = False) -> bytes:
+    """Minimal GIF89a writer for an (H, W) uint8 index image + an
+    (N, 3) palette — fixture/test-side counterpart of
+    :func:`_decode_gif` (real LZW, optional interlace)."""
+    h, w = idx.shape
+    npal = len(palette)
+    bits = max((npal - 1).bit_length(), 1)
+    size = 1 << bits
+    pal = np.zeros((size, 3), np.uint8)
+    pal[:npal] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHB", w, h, 0x80 | (bits - 1)) + b"\x00\x00"
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlace else 0)
+    if interlace:
+        rows = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                               np.arange(2, h, 4), np.arange(1, h, 2)])
+        idx = idx[rows]
+    min_code = max(bits, 2)
+    out.append(min_code)
+
+    # LZW encode (LSB-first variable-width codes)
+    clear = 1 << min_code
+    end = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    acc = accbits = 0
+    body = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    emit(clear)
+    cur = b""
+    for px in idx.tobytes():
+        nxt = cur + bytes([px])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        # deferred width change: the decoder's table lags the encoder's
+        # by one entry (it reconstructs entry i only on code i+1), so
+        # the encoder widens at (1<<width)+1, one entry after its own
+        # table passes the boundary
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:          # table full: reset
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        cur = bytes([px])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if accbits:
+        body.append(acc & 0xFF)
+    for i in range(0, len(body), 255):
+        chunk = body[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode image bytes to an (H, W, C) uint8 array.
 
@@ -370,6 +551,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     if raw[:2] == b"\xff\xd8":
         from drain3_spark.pipeline.jpeg import decode_jpeg
         return decode_jpeg(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(raw)
     try:
         from PIL import Image  # optional dependency, absent here
     except ImportError:

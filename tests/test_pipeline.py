@@ -463,9 +463,13 @@ def test_image_decode_real_formats(spark):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0....")
-    # formats without a library-free decoder (GIF) stay declared stubs
+    # GIF is real too: a signature with no image descriptor is a
+    # decode error
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"GIF89a" + b"\x00" * 7 + b"\x3b")
+    # formats without a library-free decoder (WebP) stay declared stubs
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"GIF89a......")
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP")
 
 
 def _encode_y4m(frames_rgb):
@@ -825,3 +829,37 @@ def test_auto_near_dup_blas_matches_catalyst(spark, emb):
                 method="blas").collect()}
     assert set(cat) == set(blas)
     assert cat and all(abs(cat[k] - blas[k]) <= 1e-6 for k in cat)
+
+
+def test_gif_roundtrip_and_through_spark(spark):
+    """GIF87a/89a decode (real LZW incl. variable code widths, table
+    reset at 4096, interlace) — round trips against our own encoder and
+    flows through the Spark image plumbing."""
+    rng = np.random.RandomState(41)
+    pal = rng.randint(0, 256, (256, 3), np.uint8)
+
+    # plain, interlaced, width-growth, and table-reset cases
+    small = rng.randint(0, 7, (23, 31), np.uint8)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_gif(small, pal[:7])),
+        pal[:7][small])
+    assert np.array_equal(
+        multimodal.decode_image(
+            multimodal.encode_gif(small, pal[:7], interlace=True)),
+        pal[:7][small])
+    big = rng.randint(0, 256, (64, 101), np.uint8)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_gif(big, pal)), pal[big])
+    grad = (np.add.outer(np.arange(200), np.arange(300)) % 256).astype(np.uint8)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_gif(grad, pal)), pal[grad])
+
+    rows = []
+    for i in range(4):
+        idx = rng.randint(0, 256, (16, 16), np.uint8)
+        rows.append((f"gif-{i}", bytearray(multimodal.encode_gif(idx, pal))))
+    items = spark.createDataFrame(rows, "item_id string, payload binary")
+    feats = {r.item_id: r for r in multimodal.image_features(items).collect()}
+    assert len(feats) == 4
+    assert all(r.width == 16 and r.height == 16 and r.channels == 3
+               for r in feats.values())
