@@ -574,6 +574,29 @@ def _q42_audio_incremental(spark, sf):
                         F.round("cosine", 6).alias("cosine"))
 
 
+def _q43_image_formats(spark, sf):
+    """The full native image-container matrix through ONE plumbing
+    path: a corpus cycling PPM / BMP / PNG / JPEG / GIF (same
+    md5-keystream pixels) decoded by the dispatching decoder, grouped
+    by container.  Rows-only (binary decode); per-container counts and
+    histogram sums are pinned in closed form / by local replay by
+    test_q43_image_formats_pin."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.multimodal import image_features
+    items = FX.gen_images_all_formats(spark, 200, width=16, height=16)
+    feats = image_features(items)
+    fmt = F.element_at(
+        F.array(*[F.lit(x) for x in ("ppm", "bmp", "png", "jpeg", "gif")]),
+        (F.substring("item_id", 5, 8).cast("int") % 5) + 1)
+    return (feats.select(fmt.alias("fmt"), "width", "height", "channels",
+                         F.element_at("histogram", 1).alias("bin0"))
+            .groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("width").alias("total_w"),
+                 F.sum("channels").alias("total_ch"),
+                 F.round(F.sum("bin0"), 4).alias("bin0_sum")))
+
+
 def _q31_image_features(spark, sf):
     """Real image decode (pure-numpy PPM/BMP) -> dims + luma histogram +
     nearest-neighbor resize over a deterministic synthetic image corpus
@@ -699,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_audio_mfcc": _q40_audio_mfcc,
         "q41_audio_resample": _q41_audio_resample,
         "q42_audio_incremental": _q42_audio_incremental,
+        "q43_image_formats": _q43_image_formats,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,

@@ -394,3 +394,71 @@ def gen_clip_dups(spark: SparkSession, n: int, every: int = 10,
     parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
     return (spark.range(0, n_dups, numPartitions=min(parts, max(n_dups, 1)))
             .mapInPandas(synth, CLIPS_SCHEMA))
+
+
+def _md5_pixels(i: int, width: int, height: int) -> np.ndarray:
+    """The md5-keystream pixel block shared by every image fixture."""
+    npx = width * height * 3
+    stream = b""
+    k = 0
+    while len(stream) < npx:
+        stream += hashlib.md5(f"img-{i}-{k}".encode()).digest()
+        k += 1
+    return np.frombuffer(stream[:npx], np.uint8).reshape(height, width, 3)
+
+
+def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
+                           height: int = 16,
+                           partitions: Optional[int] = None) -> DataFrame:
+    """Image corpus cycling through EVERY native container — PPM, BMP,
+    PNG, JPEG (lossy), GIF (palette-quantized to the 216-color web
+    cube) — same md5-keystream pixels as :func:`gen_images`, so each
+    row's decoded output is checkable against the regenerated source
+    (exactly for the lossless containers, to PSNR for JPEG, to the
+    web-cube quantization for GIF)."""
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+        from drain3_spark.pipeline.jpeg import encode_jpeg
+        from drain3_spark.pipeline.multimodal import encode_gif, encode_png
+        cube = np.array([(r, g, b) for r in range(0, 256, 51)
+                         for g in range(0, 256, 51)
+                         for b in range(0, 256, 51)], np.uint8)
+        for b in batches:
+            rows: List[tuple] = []
+            for i in b["id"]:
+                i = int(i)
+                img = _md5_pixels(i, width, height)
+                f = i % 5
+                if f == 0:
+                    fmt, payload = "ppm", (b"P6\n%d %d\n255\n"
+                                           % (width, height) + img.tobytes())
+                elif f == 1:
+                    stride = (width * 3 + 3) & ~3
+                    padded = np.zeros((height, stride), np.uint8)
+                    padded[:, :width * 3] = img[::-1, :, ::-1].reshape(
+                        height, width * 3)
+                    px = padded.tobytes()
+                    off = 54
+                    fmt, payload = "bmp", (
+                        b"BM" + _st.pack("<IHHI", off + len(px), 0, 0, off)
+                        + _st.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                                   0, len(px), 2835, 2835, 0, 0) + px)
+                elif f == 2:
+                    fmt, payload = "png", encode_png(img)
+                elif f == 3:
+                    fmt, payload = "jpeg", encode_jpeg(img, quality=92)
+                else:
+                    idx = ((np.round(img[..., 0] / 51.0) * 36
+                            + np.round(img[..., 1] / 51.0) * 6
+                            + np.round(img[..., 2] / 51.0))
+                           .astype(np.uint8))
+                    fmt, payload = "gif", encode_gif(idx, cube)
+                rows.append((f"img-{i:08d}", fmt, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA])
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(
+        synth, IMAGES_SCHEMA)

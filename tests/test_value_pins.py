@@ -232,3 +232,35 @@ def test_q42_incremental_pin(spark):
     for new, old in got:
         assert old in corpus_ids and new not in corpus_ids, (new, old)
     assert all(r.cosine >= 0.999 for r in rows)
+
+
+# --------------------------------------------------------------- q43
+
+def test_q43_image_formats_pin(spark):
+    """Per-container aggregates == a local replay: every payload's
+    decoded pixels recomputed from the md5 keystream (exact for
+    PPM/BMP/PNG, web-cube-quantized for GIF, via our own decoder for
+    lossy JPEG)."""
+    from drain3_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rows = {r.fmt: r for r in
+            entry.queries()["q43_image_formats"](spark, SF).collect()}
+    assert set(rows) == {"ppm", "bmp", "png", "jpeg", "gif"}
+    assert all(r.n == 40 and r.total_w == 40 * 16 and r.total_ch == 40 * 3
+               for r in rows.values())
+
+    def bin0(img):
+        luma = img.mean(axis=2).astype(np.uint8)
+        return float(np.count_nonzero((luma >> 4) == 0)) / luma.size
+
+    want = {f: 0.0 for f in rows}
+    for i in range(200):
+        img = FX._md5_pixels(i, 16, 16)
+        f = ("ppm", "bmp", "png", "jpeg", "gif")[i % 5]
+        if f == "jpeg":
+            img = decode_jpeg(encode_jpeg(img, quality=92))
+        elif f == "gif":
+            img = (np.round(img / 51.0) * 51).astype(np.uint8)
+        want[f] += bin0(img)
+    for f, r in rows.items():
+        assert abs(r.bin0_sum - round(want[f], 4)) <= 1e-9, f
