@@ -6,8 +6,9 @@ stuffing.  Progressive (SOF2), arithmetic coding, and 12-bit depth
 raise a declared ``NotImplementedError``.  Output matches the PNM/BMP
 decoders' conventions: (H, W, 3) uint8 RGB, grayscale stays (H, W, 1).
 
-Encoder: the test/fixture-side counterpart — baseline 4:4:4 (or
-single-component grayscale), Annex K example quantization tables
+Encoder: the test/fixture-side counterpart — baseline 4:4:4, 4:2:2,
+or 4:2:0 (or single-component grayscale), Annex K example quantization
+tables
 scaled by a quality factor, the specification's typical Huffman
 tables.  A decode(encode(img)) round trip recovers the image to
 quantization accuracy (pinned by the PSNR tests in
@@ -469,33 +470,37 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
                 restart_interval: int = 0) -> bytes:
     """Baseline JFIF bytes for (H, W, 1|3) uint8 — Annex K tables at
-    ``quality``; ``subsampling`` is ``"444"`` or ``"420"`` (2x2
-    box-filtered chroma, 16x16 MCUs); ``restart_interval`` > 0 emits
-    DRI + RSTn markers every that many MCUs."""
+    ``quality``; ``subsampling`` is ``"444"``, ``"422"`` (2x1
+    box-filtered chroma, 16x8 MCUs), or ``"420"`` (2x2, 16x16 MCUs);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nch = img.shape
     if nch not in (1, 3):
         raise ValueError(f"{nch}-channel image")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"subsampling {subsampling}")
-    sub = subsampling == "420" and nch == 3
+    sub = subsampling if nch == 3 else "444"
     ql = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
     if nch == 3:
         ycc = _rgb_to_ycbcr(img)
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-        if sub:
+        if sub != "444":
+            fy = 2 if sub == "420" else 1       # vertical chroma factor
             for ci in (1, 2):
                 p = planes[ci]
-                ph = (p.shape[0] + 1) // 2 * 2
+                ph = (p.shape[0] + fy - 1) // fy * fy
                 pw = (p.shape[1] + 1) // 2 * 2
                 pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
                             mode="edge")
-                planes[ci] = pp.reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+                planes[ci] = pp.reshape(ph // fy, fy, pw // 2, 2).mean((1, 3))
         qs = [ql, qc, qc]
         tsel = [0, 1, 1]
-        hv = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
+        hv = {"444": [(1, 1)] * 3,
+              "422": [(2, 1), (1, 1), (1, 1)],
+              "420": [(2, 2), (1, 1), (1, 1)]}[sub]
     else:
         planes = [img[..., 0].astype(np.float64)]
         qs = [ql]

@@ -48,6 +48,14 @@ def test_jpeg_subsampling_and_restart_markers():
     base = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
     assert base.shape == img.shape
     assert _psnr(img, base) >= 25              # chroma is box+nearest
+    # 4:2:2 loses only horizontal chroma: strictly between 444 and 420
+    p444 = _psnr(img, decode_jpeg(encode_jpeg(img, 90)))
+    p422 = _psnr(img, decode_jpeg(encode_jpeg(img, 90, subsampling="422")))
+    assert _psnr(img, base) < p422 < p444
+    odd422 = img[:21, :13]
+    got = decode_jpeg(encode_jpeg(odd422, 85, subsampling="422",
+                                  restart_interval=3))
+    assert got.shape == odd422.shape and _psnr(odd422, got) >= 30
 
     # restart markers: byte-exact with the unrestarted stream's pixels
     rst = decode_jpeg(encode_jpeg(img, 90, subsampling="420",
