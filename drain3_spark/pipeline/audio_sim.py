@@ -476,7 +476,10 @@ def resample_clips(clips: DataFrame, target_sr: int) -> DataFrame:
     pinned by ``test_resample_preserves_content``); ``dur_ms`` is
     recomputed from the resampled length.  Clips already at
     ``target_sr`` are re-emitted untouched (no decode round-trip);
-    undecodable payloads are dropped (decode CHECK family flags them)."""
+    undecodable payloads are dropped (decode CHECK family flags them).
+    Output carries the payload columns only — rejoin transcript/ds on
+    ``clip_id`` when the downstream step needs them (all three
+    transformation ops share this contract)."""
     from drain3_spark.shipping import ship_package
     ship_package(clips.sparkSession)
     tsr = int(target_sr)
