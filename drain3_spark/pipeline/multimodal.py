@@ -6,13 +6,15 @@ feature-extract / resize / frame-sample run as batched Arrow
 Arrow batch memory — ``spark.sql.execution.arrow.maxRecordsPerBatch``).
 
 Audio is REAL end-to-end here (drain3_spark.audio implements the
-codecs).  Image decode is real for UNCOMPRESSED formats — pure-numpy
-decoders for binary PPM/PGM (P6/P5) and 24-bit BI_RGB BMP, with Pillow
-auto-detected when importable for everything else.  Video
+codecs).  Image decode is real — library-free — for binary PPM/PGM
+(P6/P5), 24-bit BI_RGB BMP, PNG (stdlib zlib), baseline JPEG
+(:mod:`drain3_spark.pipeline.jpeg`), GIF87a/89a (real LZW), and
+baseline TIFF (uncompressed + PackBits, both byte orders); Pillow is
+auto-detected when importable for anything else (WebP, ...).  Video
 frame-sampling is real for raw YUV4MPEG2 (Y4M, 4:2:0) via a pure-numpy
-decoder with BT.601 YUV→RGB.  Compressed image/video formats without a
-codec library remain declared STUBS; the Spark-side plumbing (schema,
-batching, UDF signature, partitioning) is real and tested either way.
+decoder with BT.601 YUV→RGB; compressed video (H.264/VP9) remains a
+declared STUB.  The Spark-side plumbing (schema, batching, UDF
+signature, partitioning) is identical for every container.
 """
 
 from __future__ import annotations
@@ -442,6 +444,170 @@ def _decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("GIF missing image descriptor")
 
 
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected and pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n < 128:                    # literal run of n+1 bytes
+            out += data[pos:pos + n + 1]
+            pos += n + 1
+        elif n > 128:                  # repeat next byte 257-n times
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("TIFF PackBits data short")
+    return bytes(out[:expected])
+
+
+def _decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF: first IFD, uncompressed (1) or PackBits (32773),
+    8-bit grayscale or RGB, strip-organized, both byte orders.  Other
+    compressions (LZW/JPEG-in-TIFF/deflate) raise a declared
+    ``NotImplementedError``."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", data, ifd_off)
+    # type sizes for the tag values we read (SHORT/LONG)
+    tags: Dict[int, list] = {}
+    for e in range(n_entries):
+        off = ifd_off + 2 + 12 * e
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue                   # rational/ascii tags: not needed
+        total = size * cnt
+        if total <= 4:
+            raw = data[off + 8: off + 8 + total]
+        else:
+            (voff,) = struct.unpack_from(bo + "I", data, off + 8)
+            raw = data[voff: voff + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(bo + fmt * cnt, raw))
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    if w is None or h is None:
+        raise ValueError("TIFF missing dimensions")
+    comp = one(259, 1)
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {comp} not supported "
+                                  "(uncompressed and PackBits only)")
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bit depths {bits} (8-bit only)")
+    if spp not in (1, 3):
+        raise NotImplementedError(f"{spp} samples per pixel")
+    rows_per_strip = one(278, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets:
+        raise ValueError("TIFF missing strip offsets")
+    out = bytearray()
+    for si, soff in enumerate(offsets):
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = nrows * w * spp
+        if comp == 1:
+            out += data[soff: soff + expected]
+        else:
+            cnt = counts[si] if counts and si < len(counts) else len(data) - soff
+            out += _packbits_decode(data[soff: soff + cnt], expected)
+    if len(out) < h * w * spp:
+        raise ValueError("TIFF strip data short")
+    img = np.frombuffer(bytes(out[:h * w * spp]), np.uint8).reshape(h, w, spp)
+    # PhotometricInterpretation 0 = white-is-zero grayscale: invert
+    if spp == 1 and one(262, 1) == 0:
+        img = 255 - img
+    return np.ascontiguousarray(img)
+
+
+def encode_tiff(img: np.ndarray, packbits: bool = False,
+                byte_order: str = "<") -> bytes:
+    """Minimal TIFF writer for (H, W, 1|3) uint8 — one strip,
+    uncompressed or PackBits, II (``"<"``) or MM (``">"``) byte order —
+    fixture/test-side counterpart of :func:`_decode_tiff`."""
+    h, w, spp = img.shape
+    raw = img.tobytes()
+    if packbits:
+        # naive PackBits: runs of >=3 identical bytes as repeats
+        out = bytearray()
+        i = 0
+        while i < len(raw):
+            run = 1
+            while (i + run < len(raw) and run < 128
+                   and raw[i + run] == raw[i]):
+                run += 1
+            if run >= 3:
+                out += bytes([257 - run, raw[i]])
+                i += run
+            else:
+                j = i
+                lit = bytearray()
+                while (j < len(raw) and len(lit) < 128):
+                    nxt = 1
+                    while (j + nxt < len(raw) and nxt < 3
+                           and raw[j + nxt] == raw[j]):
+                        nxt += 1
+                    if nxt >= 3:
+                        break
+                    lit += raw[j:j + nxt]
+                    j += nxt
+                out += bytes([len(lit) - 1]) + lit
+                i = j
+        strip = bytes(out)
+        comp = 32773
+    else:
+        strip, comp = raw, 1
+
+    # layout: header(8) IFD(2 + n*12 + 4) bits-array strip; both image
+    # shapes emit the same 8 tags, so offsets depend only on spp via
+    # the out-of-line bits array
+    ifd_off = 8
+    n_tags = 8
+    bits_off = ifd_off + 2 + n_tags * 12 + 4
+    strip_off = bits_off + (2 * spp if spp == 3 else 0)
+    entries = [                        # (tag, type, count, value_or_offset)
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (258, 3, 3, bits_off) if spp == 3 else (258, 3, 1, 8),
+        (259, 3, 1, comp),
+        (262, 3, 1, 2 if spp == 3 else 1),
+        (273, 4, 1, strip_off),
+        (277, 3, 1, spp),
+        (279, 4, 1, len(strip)),
+    ]
+    assert len(entries) == n_tags
+    bo = byte_order
+    head = b"II*\x00" if bo == "<" else b"MM\x00*"
+    out = bytearray(head) + struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            # SHORT values sit in the first two bytes of the 4-byte
+            # value field in FILE byte order
+            out += struct.pack(bo + "HH", val, 0) if bo == "<"                 else struct.pack(bo + "HH", val, 0)
+        else:
+            out += struct.pack(bo + "I", val)
+    out += struct.pack(bo + "I", 0)    # next-IFD pointer
+    if spp == 3:
+        out += struct.pack(bo + "HHH", 8, 8, 8)
+    out += strip
+    return bytes(out)
+
+
 def encode_gif(idx: np.ndarray, palette: np.ndarray,
                interlace: bool = False) -> bytes:
     """Minimal GIF89a writer for an (H, W) uint8 index image + an
@@ -553,6 +719,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(raw)
     if raw[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(raw)
+    if raw[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(raw)
     try:
         from PIL import Image  # optional dependency, absent here
     except ImportError:

@@ -863,3 +863,45 @@ def test_gif_roundtrip_and_through_spark(spark):
     assert len(feats) == 4
     assert all(r.width == 16 and r.height == 16 and r.channels == 3
                for r in feats.values())
+
+
+def test_tiff_roundtrip_and_through_spark(spark):
+    """Baseline TIFF decode (uncompressed + PackBits, II and MM byte
+    orders, gray photometric inversion) — exact round trips and the
+    Spark plumbing."""
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (23, 31, 3), np.uint8)
+    gray = rng.randint(0, 256, (9, 14, 1), np.uint8)
+    for bo in ("<", ">"):
+        for pb in (False, True):
+            assert np.array_equal(
+                multimodal.decode_image(
+                    multimodal.encode_tiff(img, packbits=pb, byte_order=bo)),
+                img), (bo, pb)
+            assert np.array_equal(
+                multimodal.decode_image(
+                    multimodal.encode_tiff(gray, packbits=pb, byte_order=bo)),
+                gray), (bo, pb)
+    # run-heavy payload exercises PackBits repeats
+    rep = np.repeat(rng.randint(0, 256, (23, 4, 3), np.uint8), 8, axis=1)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_tiff(rep, packbits=True)),
+        rep)
+    # declared limit: LZW-compressed TIFF
+    payload = bytearray(multimodal.encode_tiff(gray))
+    # compression tag (259) is the 4th sorted entry; set value to 5 (LZW)
+    import struct as _st
+    off = 8 + 2 + 3 * 12
+    assert _st.unpack_from("<H", payload, off)[0] == 259
+    _st.pack_into("<H", payload, off + 8, 5)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(bytes(payload))
+
+    rows = [(f"tif-{i}", bytearray(multimodal.encode_tiff(
+        rng.randint(0, 256, (16, 16, 3), np.uint8), packbits=bool(i % 2))))
+        for i in range(4)]
+    items = spark.createDataFrame(rows, "item_id string, payload binary")
+    feats = multimodal.image_features(items).collect()
+    assert len(feats) == 4
+    assert all(r.width == 16 and r.height == 16 and r.channels == 3
+               for r in feats)
