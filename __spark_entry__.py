@@ -576,18 +576,19 @@ def _q42_audio_incremental(spark, sf):
 
 def _q43_image_formats(spark, sf):
     """The full native image-container matrix through ONE plumbing
-    path: a corpus cycling PPM / BMP / PNG / JPEG / GIF (same
+    path: a corpus cycling PPM / BMP / PNG / JPEG / GIF / TIFF (same
     md5-keystream pixels) decoded by the dispatching decoder, grouped
     by container.  Rows-only (binary decode); per-container counts and
     histogram sums are pinned in closed form / by local replay by
     test_q43_image_formats_pin."""
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.multimodal import image_features
-    items = FX.gen_images_all_formats(spark, 200, width=16, height=16)
+    items = FX.gen_images_all_formats(spark, 240, width=16, height=16)
     feats = image_features(items)
     fmt = F.element_at(
-        F.array(*[F.lit(x) for x in ("ppm", "bmp", "png", "jpeg", "gif")]),
-        (F.substring("item_id", 5, 8).cast("int") % 5) + 1)
+        F.array(*[F.lit(x) for x in ("ppm", "bmp", "png", "jpeg", "gif",
+                                     "tiff")]),
+        (F.substring("item_id", 5, 8).cast("int") % 6) + 1)
     return (feats.select(fmt.alias("fmt"), "width", "height", "channels",
                          F.element_at("histogram", 1).alias("bin0"))
             .groupBy("fmt")

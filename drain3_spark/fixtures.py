@@ -412,17 +412,19 @@ def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
                            partitions: Optional[int] = None) -> DataFrame:
     """Image corpus cycling through EVERY native container — PPM, BMP,
     PNG, JPEG (lossy), GIF (palette-quantized to the 216-color web
-    cube) — same md5-keystream pixels as :func:`gen_images`, so each
-    row's decoded output is checkable against the regenerated source
-    (exactly for the lossless containers, to PSNR for JPEG, to the
-    web-cube quantization for GIF)."""
+    cube), TIFF (PackBits) — same md5-keystream pixels as
+    :func:`gen_images`, so each row's decoded output is checkable
+    against the regenerated source (exactly for the lossless
+    containers, to PSNR for JPEG, to the web-cube quantization for
+    GIF)."""
     from drain3_spark.shipping import ship_package
     ship_package(spark)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _st
         from drain3_spark.pipeline.jpeg import encode_jpeg
-        from drain3_spark.pipeline.multimodal import encode_gif, encode_png
+        from drain3_spark.pipeline.multimodal import (encode_gif, encode_png,
+                                                      encode_tiff)
         cube = np.array([(r, g, b) for r in range(0, 256, 51)
                          for g in range(0, 256, 51)
                          for b in range(0, 256, 51)], np.uint8)
@@ -431,7 +433,7 @@ def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
             for i in b["id"]:
                 i = int(i)
                 img = _md5_pixels(i, width, height)
-                f = i % 5
+                f = i % 6
                 if f == 0:
                     fmt, payload = "ppm", (b"P6\n%d %d\n255\n"
                                            % (width, height) + img.tobytes())
@@ -450,12 +452,14 @@ def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
                     fmt, payload = "png", encode_png(img)
                 elif f == 3:
                     fmt, payload = "jpeg", encode_jpeg(img, quality=92)
-                else:
+                elif f == 4:
                     idx = ((np.round(img[..., 0] / 51.0) * 36
                             + np.round(img[..., 1] / 51.0) * 6
                             + np.round(img[..., 2] / 51.0))
                            .astype(np.uint8))
                     fmt, payload = "gif", encode_gif(idx, cube)
+                else:
+                    fmt, payload = "tiff", encode_tiff(img, packbits=True)
                 rows.append((f"img-{i:08d}", fmt, bytearray(payload)))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA])
 

@@ -555,12 +555,15 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
             else:
                 j = i
                 lit = bytearray()
-                while (j < len(raw) and len(lit) < 128):
+                while j < len(raw):
                     nxt = 1
                     while (j + nxt < len(raw) and nxt < 3
                            and raw[j + nxt] == raw[j]):
                         nxt += 1
-                    if nxt >= 3:
+                    # a literal header encodes at most 128 bytes; 129
+                    # would wrap to header 128 — the PackBits NO-OP —
+                    # and desync the decoder
+                    if nxt >= 3 or len(lit) + nxt > 128:
                         break
                     lit += raw[j:j + nxt]
                     j += nxt

@@ -887,6 +887,15 @@ def test_tiff_roundtrip_and_through_spark(spark):
     assert np.array_equal(
         multimodal.decode_image(multimodal.encode_tiff(rep, packbits=True)),
         rep)
+    # literal segments longer than 128 bytes must split: a 129-byte
+    # literal would emit header 128 — the PackBits NO-OP — and desync
+    # the decoder (regression: fixture img-53 hit this)
+    runfree = np.tile(np.arange(256, dtype=np.uint8), 3)[:600]
+    long_lit = np.concatenate([runfree, np.full(24, 7, np.uint8)])
+    img_ll = long_lit[:624].reshape(13, 16, 3)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_tiff(img_ll, packbits=True)),
+        img_ll)
     # declared limit: LZW-compressed TIFF
     payload = bytearray(multimodal.encode_tiff(gray))
     # compression tag (259) is the 4th sorted entry; set value to 5 (LZW)

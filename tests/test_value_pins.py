@@ -245,7 +245,7 @@ def test_q43_image_formats_pin(spark):
 
     rows = {r.fmt: r for r in
             entry.queries()["q43_image_formats"](spark, SF).collect()}
-    assert set(rows) == {"ppm", "bmp", "png", "jpeg", "gif"}
+    assert set(rows) == {"ppm", "bmp", "png", "jpeg", "gif", "tiff"}
     assert all(r.n == 40 and r.total_w == 40 * 16 and r.total_ch == 40 * 3
                for r in rows.values())
 
@@ -254,9 +254,9 @@ def test_q43_image_formats_pin(spark):
         return float(np.count_nonzero((luma >> 4) == 0)) / luma.size
 
     want = {f: 0.0 for f in rows}
-    for i in range(200):
+    for i in range(240):
         img = FX._md5_pixels(i, 16, 16)
-        f = ("ppm", "bmp", "png", "jpeg", "gif")[i % 5]
+        f = ("ppm", "bmp", "png", "jpeg", "gif", "tiff")[i % 6]
         if f == "jpeg":
             img = decode_jpeg(encode_jpeg(img, quality=92))
         elif f == "gif":
