@@ -317,3 +317,32 @@ def test_normalize_gain(spark):
     s = got["silent"]
     assert s.gain_db == 0.0
     assert np.all(decode(bytes(s.bytes), "pcm_f32le") == 0.0)
+
+
+def test_denoise_clips(spark):
+    """Wiener-mask denoise improves SNR on noisy clips and leaves
+    near-clean clips unharmed, through the Spark path."""
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    rng = np.random.default_rng(3)
+    clean = (0.6 * np.sin(2 * np.pi * 440 * t))
+    noisy = (clean + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    pure = (0.8 * np.sin(2 * np.pi * 700 * t)).astype(np.float32)
+    df = spark.createDataFrame(
+        [("noisy", bytearray(encode(noisy, "pcm_f32le")), sr, 500,
+          "pcm_f32le"),
+         ("pure", bytearray(encode(pure, "pcm_f32le")), sr, 500,
+          "pcm_f32le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    got = {r.clip_id: decode(bytes(r.bytes), "pcm_f32le").astype(np.float64)
+           for r in audio_sim.denoise_clips(df).collect()}
+
+    before = snr_db(clean, noisy.astype(np.float64))
+    after = snr_db(clean, got["noisy"])
+    assert after >= before + 3.0, (before, after)   # measured ~+5 dB
+    # a clean tone passes through at high fidelity
+    assert snr_db(pure.astype(np.float64), got["pure"]) >= 40.0
+    # kernel parity: the Spark path equals the local kernel bit-for-bit
+    local = np.clip(audio_sim._wiener_denoise(
+        noisy.astype(np.float64), sr), -1, 1).astype(np.float32)
+    assert np.array_equal(got["noisy"].astype(np.float32), local)
