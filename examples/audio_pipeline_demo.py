@@ -8,8 +8,8 @@ planted near-duplicates.
    exact-cosine pairs, then connected components -> keeper per group;
 3. incremental maintenance: a second ingest batch deduped against the
    kept corpus's embedding index (no corpus re-decode);
-4. transformations: resample the keepers to 16 kHz, loudness-normalize,
-   trim silence;
+4. transformations: resample the keepers to 16 kHz, denoise,
+   loudness-normalize, trim silence;
 5. features: spectral stats + MFCCs for the final corpus.
 
 Run: python examples/audio_pipeline_demo.py
@@ -26,8 +26,8 @@ from drain3_spark import fixtures as FX
 from drain3_spark.pipeline.audio_sim import (audio_embedding_index,
                                              audio_incremental_duplicates,
                                              audio_mfcc, audio_near_dup_pairs,
-                                             normalize_gain, resample_clips,
-                                             trim_silence)
+                                             denoise_clips, normalize_gain,
+                                             resample_clips, trim_silence)
 from drain3_spark.pipeline.dedup import connected_components
 from drain3_spark.pipeline.multimodal import audio_spectral_features
 from drain3_spark.session import get_spark
@@ -73,7 +73,8 @@ def main() -> None:
 
     # -- 4. transformations over the keepers -----------------------
     resampled = resample_clips(kept, 16000)
-    normalized = normalize_gain(resampled, target_rms=0.1)
+    denoised = denoise_clips(resampled)
+    normalized = normalize_gain(denoised, target_rms=0.1)
     trimmed = trim_silence(normalized.select(
         "clip_id", "bytes", "sr_hz", "codec"))
     print("== transformed corpus (resampled 16k, rms 0.1, trimmed) ==")
