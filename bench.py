@@ -204,14 +204,16 @@ def main() -> None:
     }
     # two-cluster-size scaling evidence (north_rule): embed the latest
     # recorded protocol run (tools/bench_scaling.py; details BASELINE.md)
+    scaling = None
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling"] = json.load(f)
-    # durable copy: the driver's tail window can truncate long stdout
-    # JSON (it lost round 3's per-query dict) — the committed file is
-    # the record of record for round-over-round regression comparison
+            scaling = json.load(f)
+        out["scaling"] = scaling
+    # durable copy with full detail (scaling notes, control readings,
+    # cc per-generation times) — the record of record for
+    # round-over-round regression comparison
     last_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_last.json")
     try:
@@ -219,7 +221,23 @@ def main() -> None:
             json.dump(out, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout line still carries everything
-    print(json.dumps(out))
+    # stdout line stays COMPACT: the driver's capture window is ~2000
+    # chars and truncated BENCH_r03..r05.json to "parsed": null when the
+    # full scaling history rode inline.  Summarize scaling to the three
+    # graded numbers per pair; everything else fits.
+    slim = dict(out)
+    if scaling is not None:
+        slim["scaling"] = [
+            {"levels": p.get("levels"),
+             "engine_speedup": p.get("engine_speedup"),
+             "raw_eff": p.get("scaling_efficiency"),
+             "hw_norm_eff": p.get("efficiency_vs_delivered_hw")}
+            for p in scaling.get("pairs", [])]
+    slim["cc_graph"] = {k: v for k, v in slim["cc_graph"].items()
+                        if k != "iter_secs"}
+    line = json.dumps(slim, separators=(",", ":"))
+    assert len(line) < 1900, f"bench stdout line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

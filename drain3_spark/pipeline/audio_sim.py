@@ -29,7 +29,7 @@ Key invariances of the embedding (measured, pinned by tests):
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -407,7 +407,7 @@ def audio_incremental_duplicates(new_clips: DataFrame, index: DataFrame,
 
 
 def update_audio_index(index: DataFrame, new_index: DataFrame,
-                       keeper_ids: DataFrame = None) -> DataFrame:
+                       keeper_ids: Optional[DataFrame] = None) -> DataFrame:
     """Maintain the persisted audio embedding index across ingest
     batches: append the new batch's index rows
     (:func:`audio_embedding_index` over the batch) so batch N+1 dedups

@@ -601,7 +601,7 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
         if typ == 3 and cnt == 1:
             # SHORT values sit in the first two bytes of the 4-byte
             # value field in FILE byte order
-            out += struct.pack(bo + "HH", val, 0) if bo == "<"                 else struct.pack(bo + "HH", val, 0)
+            out += struct.pack(bo + "HH", val, 0)
         else:
             out += struct.pack(bo + "I", val)
     out += struct.pack(bo + "I", 0)    # next-IFD pointer
@@ -706,9 +706,10 @@ def decode_image(payload: bytes) -> np.ndarray:
        re-raised CHAINED as ``ValueError`` — it must not masquerade as
        "Pillow missing" when the library is present;
     3. ``NotImplementedError`` only when Pillow is genuinely absent:
-       remaining compressed formats (GIF/WebP/TIFF/...) need a codec
+       the remaining formats (WebP, JPEG 2000, AVIF, ...) need a codec
        library this container does not ship — a declared stub, same
-       mapInPandas shape either way.
+       mapInPandas shape either way.  (GIF and TIFF are decoded
+       natively by the dispatch above, not via this fallback.)
     """
     raw = bytes(payload)
     if raw[:2] in (b"P5", b"P6"):

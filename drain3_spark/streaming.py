@@ -29,22 +29,72 @@ from drain3_spark.state.store import CheckpointStore
 from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
 
 
+def _latest_snapshot_hw(seen_dir: str, batch_id: int) -> Optional[int]:
+    """High watermark of the newest compacted seen-id snapshot usable at
+    ``batch_id`` (a snapshot ``hw=B`` covers batches < B, so any
+    ``B <= batch_id`` is a valid prior)."""
+    import os
+    snap_root = f"{seen_dir}/_snapshot"
+    if not os.path.isdir(snap_root):
+        return None
+    hws = [int(d.split("=")[1]) for d in os.listdir(snap_root)
+           if d.startswith("hw=") and int(d.split("=")[1]) <= batch_id]
+    return max(hws) if hws else None
+
+
 def _read_prior_seen(spark: SparkSession, seen_dir: str,
                      batch_id: int) -> Optional[DataFrame]:
     """Seen-id rows from batches BEFORE ``batch_id`` (None if no prior
-    batch has committed ids).  Local-FS directory listing here; on a
-    cluster the index would be a partitioned catalog table and this is
-    a partition-pruned scan."""
+    batch has committed ids): the newest compacted snapshot (covering
+    batches < its high watermark) plus the per-batch delta partitions
+    after it — so the listing and the scan stay O(K), not O(batches),
+    under the every-K compaction cadence.  Local-FS directory listing
+    here; on a cluster the index would be a partitioned catalog table
+    and this is a partition-pruned scan."""
     import os
     if not os.path.isdir(seen_dir):
         return None
+    hw = _latest_snapshot_hw(seen_dir, batch_id)
+    lo = hw if hw is not None else 0
     parts = [d for d in os.listdir(seen_dir)
-             if d.startswith("batch=") and int(d.split("=")[1]) < batch_id]
-    if not parts:
+             if d.startswith("batch=") and lo <= int(d.split("=")[1]) < batch_id]
+    dfs = []
+    if hw is not None:
+        # snapshot rows carry `batch` as a data column
+        dfs.append(spark.read.parquet(f"{seen_dir}/_snapshot/hw={hw}"))
+    if parts:
+        dfs.append(spark.read.option("basePath", seen_dir)
+                   .parquet(*[f"{seen_dir}/{d}" for d in parts])
+                   .select("clip_id", "ds", "batch"))
+    if not dfs:
         return None
-    df = spark.read.option("basePath", seen_dir).parquet(
-        *[f"{seen_dir}/{d}" for d in parts])
-    return df
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _compact_seen(spark: SparkSession, seen_dir: str, batch_id: int,
+                  prior: DataFrame) -> None:
+    """Fold all seen-id rows from batches < ``batch_id`` into ONE
+    snapshot ``_snapshot/hw={batch_id}``, then drop the subsumed delta
+    partitions and older snapshots.  Idempotent under at-least-once
+    replay: the snapshot path is keyed by the high watermark, the write
+    is mode=overwrite, and a replayed compaction re-reads exactly the
+    (already-compacted) same rows.  The snapshot excludes the CURRENT
+    batch, so a replay of ``batch_id`` never cross-matches against its
+    own ids."""
+    import os
+    import shutil
+    (prior.select("clip_id", "ds", "batch")
+     .write.mode("overwrite").parquet(f"{seen_dir}/_snapshot/hw={batch_id}"))
+    for d in os.listdir(seen_dir):
+        if d.startswith("batch=") and int(d.split("=")[1]) < batch_id:
+            shutil.rmtree(f"{seen_dir}/{d}", ignore_errors=True)
+    snap_root = f"{seen_dir}/_snapshot"
+    for d in os.listdir(snap_root):
+        if d.startswith("hw=") and int(d.split("=")[1]) < batch_id:
+            shutil.rmtree(f"{snap_root}/{d}", ignore_errors=True)
 
 
 def make_batch_processor(store: CheckpointStore,
@@ -52,7 +102,8 @@ def make_batch_processor(store: CheckpointStore,
                          engine: ValidationEngine,
                          out_dir: str,
                          order_cols=("ds", "clip_id"),
-                         validate: bool = True):
+                         validate: bool = True,
+                         seen_compact_every: int = 16):
     """foreachBatch callback: mine + validate + commit one micro-batch.
 
     Idempotent under at-least-once replay: ``foreachBatch`` may re-deliver
@@ -86,25 +137,35 @@ def make_batch_processor(store: CheckpointStore,
                                prior_clusters=prior, prior_counter=counter)
         mined.assignments.write.mode("overwrite").parquet(
             f"{out_dir}/assignments/batch={batch_id}")
+        # cross-batch uniqueness index: the per-batch engine can only
+        # see duplicates WITHIN a micro-batch; a clip_id that already
+        # arrived in an earlier batch is caught against the persisted
+        # seen-id index (the streaming analog of the dedup family's
+        # stored band/embedding indexes — tiny (clip_id, ds) rows,
+        # partitioned by batch so at-least-once replay overwrites its
+        # own partition idempotently).  Maintained for EVERY batch,
+        # validated or not — a validate=False batch's ids must still be
+        # on record when a later batch duplicates them.  Every
+        # ``seen_compact_every`` batches the delta partitions are
+        # folded into one snapshot so the listing and the prior scan
+        # stay O(K), not O(batches).
+        seen_dir = f"{out_dir}/seen_ids"
+        prior_seen = _read_prior_seen(spark, seen_dir, batch_id)
+        (batch_df.select("clip_id", "ds").distinct()
+         .write.mode("overwrite")
+         .parquet(f"{seen_dir}/batch={batch_id}"))
+        if (seen_compact_every and prior_seen is not None
+                and batch_id > 0 and batch_id % seen_compact_every == 0):
+            _compact_seen(spark, seen_dir, batch_id, prior_seen)
+            prior_seen = _read_prior_seen(spark, seen_dir, batch_id)
         if validate:
             report = engine.validate(batch_df, include_orphans=False)
             violations = report.violations
-            # cross-batch uniqueness: the per-batch engine can only see
-            # duplicates WITHIN a micro-batch; a clip_id that already
-            # arrived in an earlier batch is caught against the
-            # persisted seen-id index (the streaming analog of the
-            # dedup family's stored band/embedding indexes — tiny
-            # (clip_id, ds) rows, partitioned by batch so at-least-once
-            # replay overwrites its own partition idempotently; at
-            # cluster scale this read is a catalog partition listing,
-            # not a directory walk)
-            seen_dir = f"{out_dir}/seen_ids"
-            prior = _read_prior_seen(spark, seen_dir, batch_id)
-            if prior is not None:
+            if prior_seen is not None:
                 from drain3_spark.fixtures import CHECK_UNIQUENESS_CROSS
                 cross = (batch_df.select("clip_id", "ds").distinct()
-                         .join(prior.select("clip_id",
-                                            F.col("batch").alias("_b")),
+                         .join(prior_seen.select("clip_id",
+                                                 F.col("batch").alias("_b")),
                                "clip_id")
                          .groupBy("clip_id", "ds")
                          .agg(F.min("_b").alias("_first"))
@@ -118,9 +179,6 @@ def make_batch_processor(store: CheckpointStore,
                 f"{out_dir}/violations/batch={batch_id}")
             report.partition_report.write.mode("overwrite").parquet(
                 f"{out_dir}/partition_report/batch={batch_id}")
-            (batch_df.select("clip_id", "ds").distinct()
-             .write.mode("overwrite")
-             .parquet(f"{seen_dir}/batch={batch_id}"))
             report.violations.unpersist()
         # monotonic: prior + created, never max(live ids) (see jobs.py)
         new_counter = mined.updated_counter()
@@ -203,7 +261,8 @@ def run_streaming(spark: SparkSession,
                   validate: bool = True,
                   max_files_per_trigger: int = 8,
                   timeout_sec: Optional[float] = None,
-                  once: bool = True):
+                  once: bool = True,
+                  seen_compact_every: int = 16):
     """Stream clips files through mine+validate with checkpointed state.
 
     ``once=True`` processes all available input then stops (the batch
@@ -222,7 +281,8 @@ def run_streaming(spark: SparkSession,
 
     process_batch = make_batch_processor(store, cfg, engine, out_dir,
                                          order_cols=order_cols,
-                                         validate=validate)
+                                         validate=validate,
+                                         seen_compact_every=seen_compact_every)
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

@@ -154,8 +154,16 @@ class ValidationEngine:
             lo, hi = cfg.dur_bounds
             dur_w = cfg.drift_dur_bucket_ms or max(
                 1, (hi - lo) // cfg.drift_max_buckets)
-            dur_b = (F.floor(F.col("dur_ms") / F.lit(dur_w))
-                     * F.lit(dur_w)).cast("long").alias("dur_ms")
+            # out-of-domain durations must NOT leak into the KS
+            # histogram via the last partial bucket (whose start is
+            # <= hi but whose span reaches hi + dur_w - 1): bucket only
+            # in-domain values, carry the rest as a NULL bucket so the
+            # same cube still counts them for rows_scanned and the
+            # categorical (codec/sr_hz) histograms
+            dur_b = F.when(
+                F.col("dur_ms").between(int(lo), int(hi)),
+                (F.floor(F.col("dur_ms") / F.lit(dur_w))
+                 * F.lit(dur_w)).cast("long")).alias("dur_ms")
             with prof_sec("drift_cube"):
                 hist_rows = (clips.groupBy("ds", dur_b, "codec", "sr_hz")
                              .agg(F.count(F.lit(1)).alias("n")).collect())
@@ -211,12 +219,10 @@ class ValidationEngine:
             if profiler is not None:
                 profiler.start_section("drift_stats")
             sr_dom = {int(s) for s in cfg.sr_domain}
-            # bucket-grid-aligned bounds: the bucket holding `lo` starts
-            # at floor(lo/w)*w, and far-out-of-domain defect durations
-            # stay excluded exactly as before
-            lo_b = (lo // dur_w) * dur_w
+            # the cube bucketed only in-domain durations (out-of-domain
+            # rows carry a NULL bucket), so non-null is the whole filter
             ks_hist = [(r["ds"], r["dur_ms"], r["n"]) for r in hist_rows
-                       if r["dur_ms"] is not None and lo_b <= r["dur_ms"] <= hi]
+                       if r["dur_ms"] is not None]
             for rec in ks_drift(None, "dur_ms", cfg.drift_baseline_ds,
                                 cfg.drift_alpha, hist=ks_hist):
                 drift_rows.append((rec["ds"], rec["check"], bool(rec["passed"]),
@@ -241,6 +247,10 @@ class ValidationEngine:
             hist_out: dict = {}
             for r in hist_rows:
                 for col in ("dur_ms", "codec", "sr_hz"):
+                    if col == "dur_ms" and r[col] is None:
+                        # out-of-domain duration (NULL bucket): a
+                        # row-local defect, not a histogram value
+                        continue
                     key = (r["ds"], col, str(r[col]))
                     hist_out[key] = hist_out.get(key, 0) + int(r["n"])
             histograms = local_df(

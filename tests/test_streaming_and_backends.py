@@ -518,3 +518,86 @@ def test_streaming_cross_batch_uniqueness(spark, tmp_path):
         .parquet(str(tmp_path / "out" / "seen_ids"))
     assert seen.filter(F.col("batch") == 0).count() == b1.count()
     clips.unpersist()
+
+
+def test_streaming_seen_index_compaction(spark, tmp_path):
+    """Every K batches the seen-id delta partitions fold into ONE
+    snapshot: batch N+K reads the compacted snapshot (the subsumed
+    ``batch=`` partitions are GONE from disk, so a duplicate of a
+    batch-0 clip can only have been caught via the snapshot), and the
+    listing stays O(K) instead of O(batches)."""
+    clips = FX.gen_clips(spark, 100, n_ds=5, dur_lo=200, dur_hi=400).cache()
+    ds_list = sorted(r.ds for r in clips.select("ds").distinct().collect())
+    assert len(ds_list) == 5
+    b0 = clips.filter(F.col("ds") == ds_list[0])
+    dup_ids = [r.clip_id for r in b0.select("clip_id").limit(2).collect()]
+
+    src = str(tmp_path / "incoming")
+    for i, ds in enumerate(ds_list):
+        b = clips.filter(F.col("ds") == ds)
+        if i == 3:  # batch 3 replays two batch-0 clips AFTER compaction@2
+            b = b.unionByName(b0.filter(F.col("clip_id").isin(dup_ids)))
+        b.coalesce(1).write.mode("overwrite").parquet(f"{src}/f_{i}")
+        os.utime(f"{src}/f_{i}", (i + 1, i + 1))  # deterministic order
+
+    run_streaming(
+        spark, f"{src}/f_*", clips.schema,
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "out"),
+        cfg=EngineConfig(), validate=True, max_files_per_trigger=1,
+        seen_compact_every=2)
+
+    seen_dir = str(tmp_path / "out" / "seen_ids")
+    # compaction ran at batch 2 (covers 0,1) and batch 4 (covers 0-3):
+    # only the newest snapshot and the current batch's delta survive
+    entries = {d for d in os.listdir(seen_dir) if not d.startswith(".")}
+    assert entries == {"_snapshot", "batch=4"}
+    assert os.listdir(f"{seen_dir}/_snapshot") == ["hw=4"]
+    snap = spark.read.parquet(f"{seen_dir}/_snapshot/hw=4")
+    assert set(snap.columns) == {"clip_id", "ds", "batch"}
+    # the snapshot holds every id from batches 0-3 with its first batch
+    want_ids = {r.clip_id for r in
+                clips.filter(F.col("ds") != ds_list[4]).collect()}
+    assert {r.clip_id for r in snap.collect()} == want_ids
+    assert snap.filter(F.col("batch") == 0).count() == b0.count()
+
+    # the batch-3 duplicates were flagged against the snapshot (their
+    # batch=0 delta partition was deleted at compaction@2)
+    viol = spark.read.option("basePath", str(tmp_path / "out" / "violations")) \
+        .parquet(str(tmp_path / "out" / "violations"))
+    cross = viol.filter(F.col("check") == "uniqueness_cross_batch").collect()
+    assert {r.clip_id for r in cross} == set(dup_ids)
+    assert all(r.detail == "first_seen_batch=0" for r in cross)
+    clips.unpersist()
+
+
+def test_streaming_seen_index_written_without_validation(spark, tmp_path):
+    """A batch processed with validate=False still records its clip_ids:
+    a later VALIDATED batch that replays one of them is flagged (the
+    index is maintenance, not a validation artifact — ADVICE round 5)."""
+    from drain3_spark.streaming import make_batch_processor
+    from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
+
+    clips = FX.gen_clips(spark, 40, n_ds=2, dur_lo=200, dur_hi=400).cache()
+    ds_list = sorted(r.ds for r in clips.select("ds").distinct().collect())
+    b0 = clips.filter(F.col("ds") == ds_list[0])
+    dup_id = b0.select("clip_id").limit(1).collect()[0].clip_id
+    b1 = clips.filter(F.col("ds") == ds_list[1]).unionByName(
+        b0.filter(F.col("clip_id") == dup_id))
+
+    out = str(tmp_path / "out")
+    store = CheckpointStore(str(tmp_path / "state"))
+    engine = ValidationEngine(ValidationConfig())
+
+    # batch 0 unvalidated, batch 1 validated
+    p0 = make_batch_processor(store, EngineConfig(), engine, out,
+                              validate=False)
+    p0(b0, 0)
+    p1 = make_batch_processor(CheckpointStore(str(tmp_path / "state2")),
+                              EngineConfig(), engine, out, validate=True)
+    p1(b1, 1)
+
+    viol = spark.read.parquet(f"{out}/violations/batch=1")
+    cross = viol.filter(F.col("check") == "uniqueness_cross_batch").collect()
+    assert [r.clip_id for r in cross] == [dup_id]
+    assert cross[0].detail == "first_seen_batch=0"
+    clips.unpersist()

@@ -110,7 +110,9 @@ def test_sr_drift_histograms_and_schema_wired(spark, dirty_tables):
     # conforming schema -> one passing table-level row
     srow = [r for r in pr if r.check == "schema"]
     assert len(srow) == 1 and srow[0].passed and srow[0].ds == "__table__"
-    # histograms folded from the same cube: per-ds counts sum to rows
+    # histograms folded from the same cube: categorical counts sum to
+    # all rows; dur_ms sums to the IN-DOMAIN rows only (out-of-domain
+    # durations are row-local findings, excluded — ADVICE round 5)
     h = report.histograms
     assert h is not None
     sums = {(r.ds, r.column): 0 for r in h.collect()}
@@ -118,8 +120,13 @@ def test_sr_drift_histograms_and_schema_wired(spark, dirty_tables):
         sums[(r.ds, r.column)] += r.n
     per_ds = {r["ds"]: r["cnt"] for r in
               clips.groupBy("ds").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    lo, hi = engine.cfg.dur_bounds
+    per_ds_dur = {r["ds"]: r["cnt"] for r in
+                  clips.filter(F.col("dur_ms").between(lo, hi))
+                  .groupBy("ds").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     for (ds, col), n in sums.items():
-        assert n == per_ds[ds], (ds, col)
+        want = per_ds_dur[ds] if col == "dur_ms" else per_ds[ds]
+        assert n == want, (ds, col, n, want)
     assert {r.column for r in h.collect()} == {"dur_ms", "codec", "sr_hz"}
     report.violations.unpersist()
 
@@ -174,11 +181,14 @@ def test_drift_cube_collect_is_bounded(spark, dirty_tables):
     assert per_ds_durs
     for ds, vals in per_ds_durs.items():
         assert len(vals) <= cfg.drift_max_buckets + 2, (ds, len(vals))
-        # bucket values sit on the grid width implied by dur_bounds
+        # bucket values sit on the grid width implied by dur_bounds,
+        # and out-of-domain durations never enter the histogram (the
+        # dirty fixture HAS dur defects; they are row-local findings,
+        # not drift/histogram values — ADVICE round 5)
         lo, hi = cfg.dur_bounds
         width = max(1, (hi - lo) // cfg.drift_max_buckets)
-        in_domain = [int(v) for v in vals if int(v) <= hi]
-        assert all(v % width == 0 for v in in_domain), (ds, width)
+        assert all(v % width == 0 and v <= hi for v in map(int, vals)), \
+            (ds, width)
 
     # bucketed KS still flags the drifted partition and passes the rest
     pr = report.partition_report.collect()
