@@ -117,11 +117,15 @@ def main() -> None:
 
     # ---- audio dedup throughput at corpus scale ----
     # q39's fixture corpus is 220 clips; this times the same operator
-    # family on 50k clips (decode -> mel embedding, then spectral-peak
-    # blocked near-dup, BLAS verify).  n_mels=256 keeps per-bucket
-    # populations bounded at this corpus size (the knob the operator
-    # documents for scale); generation is cached to parquet and
-    # excluded from the timing.
+    # family on 50k clips (decode -> mel embedding, then
+    # random-hyperplane LSH blocking, BLAS verify) at the operator's
+    # out-of-box defaults (lsh_bits=16 ~= log2(50k) per the sizing
+    # recipe).  Round-5's peak-blocking bench ran n_mels=256 to spread
+    # buckets, which also coarsened recall (241,677 pairs); the LSH
+    # default at n_mels=64 finds the full 0.999-cosine pair set
+    # (798,187 = 99.97% of exhaustive-within-peak-64's 798,433) in
+    # comparable-or-less time — A/B in PLANS.md.  Generation is cached
+    # to parquet and excluded from the timing.
     from drain3_spark.pipeline.audio_sim import (audio_embeddings,
                                                  audio_near_dup_pairs)
     n_audio = int(os.environ.get("SPARK_GRAFT_BENCH_AUDIO_CLIPS", "50000"))
@@ -135,7 +139,7 @@ def main() -> None:
     n_audio_pairs = timed(
         "audio_neardup_50k",
         lambda: audio_near_dup_pairs(aclips, threshold=0.999,
-                                     method="blas", n_mels=256).count())
+                                     method="blas").count())
     audio_embed_cps = round(n_audio / timings["audio_embed_50k"], 1)
 
     # ---- clips validation throughput (north metric) ----

@@ -9,12 +9,15 @@ the same bounded-batch shape as :mod:`drain3_spark.pipeline.multimodal`
 
 The near-dup operator shares the blocked-pair shape of the embedding
 dedup family (:mod:`drain3_spark.pipeline.similarity`): a spectral
-embedding per clip, SPECTRAL-PEAK multi-probe blocking (each clip
-probes its two most energetic mel bands — stable where generic IVF
-centroid assignment degenerates on peaked spectra, see
-:func:`audio_near_dup_pairs`), and the exact cosine verify in either
-Catalyst-expression or one-task BLAS form — candidate-bounded at any
-corpus size.
+embedding per clip, RANDOM-HYPERPLANE LSH blocking (``lsh_bands``
+independent ``lsh_bits``-bit sign signatures over the embedding — a
+bucket space of ``lsh_bands * 2**lsh_bits`` keys that grows with a
+real knob, unlike the earlier top-mel-band key whose cardinality was
+capped at ``n_mels`` regardless of corpus size; see
+:func:`audio_near_dup_pairs` for the sizing recipe and the legacy
+``blocking="peak"`` escape hatch), and the exact cosine verify in
+either Catalyst-expression or one-task BLAS form — candidate-bounded
+at any corpus size.
 
 Key invariances of the embedding (measured, pinned by tests):
 
@@ -265,31 +268,122 @@ def audio_mfcc(clips: DataFrame, n_mfcc: int = 13, n_mels: int = 26,
             .mapInPandas(extract, AUDIO_MFCC_SCHEMA))
 
 
+# ----------------------------------------------- random-hyperplane LSH
+
+# per-executor cache: hyperplane matrices are pure functions of their
+# parameters (deterministic rng seed), shared across Arrow batches
+_PLANES_CACHE: Dict[Tuple, np.ndarray] = {}
+
+
+def _lsh_planes(dim: int, n_bits: int, n_bands: int,
+                seed: int) -> np.ndarray:
+    """(n_bands * n_bits, dim) standard-normal hyperplanes, deterministic
+    in (dim, n_bits, n_bands, seed) — every executor and every driver
+    replay derives the identical matrix, so bucket ids are stable
+    across jobs, batches, and incremental-index generations."""
+    key = (int(dim), int(n_bits), int(n_bands), int(seed))
+    P = _PLANES_CACHE.get(key)
+    if P is None:
+        rng = np.random.default_rng(seed)
+        P = _PLANES_CACHE[key] = rng.standard_normal(
+            (n_bits * n_bands, dim))
+    return P
+
+
+def lsh_bucket_ids(E: np.ndarray, n_bits: int, n_bands: int,
+                   seed: int) -> np.ndarray:
+    """(n, n_bands) int64 bucket keys for row-wise embeddings ``E``:
+    per band, the packed sign bits of ``n_bits`` random projections,
+    tagged with the band index (``band << n_bits | signature``) so the
+    bands' key spaces never collide.  One matmul for all bands.
+
+    Collision probability per bit for two vectors at angle θ is
+    1 - θ/π (random-hyperplane LSH), so a pair at cosine c agrees on a
+    whole band with ``(1 - arccos(c)/π) ** n_bits`` and is generated as
+    a candidate by at least one of the ``n_bands`` independent bands
+    with ``1 - (1 - p_band) ** n_bands``."""
+    if (1 << n_bits) * n_bands > (1 << 62):
+        raise ValueError("n_bits + log2(n_bands) must stay below 62 "
+                         "to pack into an int64 bucket key")
+    P = _lsh_planes(E.shape[1], n_bits, n_bands, seed)
+    bits = (E @ P.T) > 0.0                       # (n, n_bands*n_bits)
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+    out = np.empty((E.shape[0], n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        sig = bits[:, b * n_bits:(b + 1) * n_bits].astype(np.int64) @ weights
+        out[:, b] = (np.int64(b) << np.int64(n_bits)) | sig
+    return out
+
+
+def audio_lsh_buckets(emb: DataFrame, lsh_bits: int = 16,
+                      lsh_bands: int = 4, lsh_seed: int = 7) -> DataFrame:
+    """Append an ``array<long>`` ``buckets`` column (``lsh_bands``
+    random-hyperplane keys per clip) to an :func:`audio_embeddings`
+    output.  Vectorized: one Arrow batch → one matmul over the stacked
+    embedding matrix; no per-row Python."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_udf(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        E = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        B = lsh_bucket_ids(E, lsh_bits, lsh_bands, lsh_seed)
+        return pd.Series([row.tolist() for row in B])
+
+    return emb.withColumn("buckets", buckets_udf(F.col("embedding")))
+
+
+def _assigned_buckets(emb: DataFrame, blocking: str, lsh_bits: int,
+                      lsh_bands: int, lsh_seed: int) -> DataFrame:
+    """(clip_id, bucket:long, vec) — one row per (clip, probe) under
+    either blocking scheme, the shared candidate-generation input of
+    the one-shot and incremental audio dedup operators."""
+    if blocking == "peak":
+        return (emb.select("clip_id",
+                           F.explode("top_bands").alias("_band"),
+                           F.col("embedding").alias("vec"))
+                .select("clip_id", F.col("_band").cast("long").alias("bucket"),
+                        "vec"))
+    if blocking != "lsh":
+        raise ValueError(f"unknown blocking scheme: {blocking!r}")
+    return (audio_lsh_buckets(emb, lsh_bits, lsh_bands, lsh_seed)
+            .select("clip_id", F.explode("buckets").alias("bucket"),
+                    F.col("embedding").alias("vec")))
+
+
 # ------------------------------------------------------------- near-dup
 
 def audio_near_dup_pairs(clips: DataFrame, threshold: float = 0.999,
                          method: str = "catalyst", n_mels: int = 64,
                          frame_ms: int = 64, hop_ms: int = 32,
-                         f_lo: float = 100.0,
-                         f_hi: float = 3500.0) -> DataFrame:
+                         f_lo: float = 100.0, f_hi: float = 3500.0,
+                         blocking: str = "lsh", lsh_bits: int = 16,
+                         lsh_bands: int = 4,
+                         lsh_seed: int = 7) -> DataFrame:
     """Audio near-duplicate pairs over an UNLABELED clip corpus:
     ``(clip_id_a, clip_id_b, cosine)`` with ``clip_id_a < clip_id_b``,
     where cosine is between the clips' spectral embeddings.
 
-    Blocking is SPECTRAL-PEAK buckets: each clip probes its two most
-    energetic mel bands (``top_bands`` from :func:`audio_embeddings`)
+    Blocking is RANDOM-HYPERPLANE LSH over the embedding (default):
+    each clip emits ``lsh_bands`` bucket keys (:func:`lsh_bucket_ids`)
     and only same-bucket pairs are scored — candidate-bounded, nothing
-    quadratic in the corpus ever materializes.  Peak buckets (not IVF
-    centroids) because spectra are PEAKED: a clip's dominant band wins
-    by orders of magnitude, so near-identical copies always agree on
-    it, while a generic-embedding centroid assignment degenerates here
-    (a clip whose band no centroid represents is near-equidistant to
-    ALL centroids, and the argmin tie-break is decided by noise —
-    measured: two copies at cosine 1-1e-9 landing in four distinct
-    buckets).  The second probe covers pairs straddling a band
-    boundary (both copies of a boundary clip emit both bands).  At
-    larger corpus scale, raise ``n_mels`` to widen the bucket space —
-    the verify stays candidate-bounded either way.
+    quadratic in the corpus ever materializes.  The bucket space is
+    ``lsh_bands * 2**lsh_bits`` and — unlike the legacy top-mel-band
+    key, whose cardinality was CAPPED at ``n_mels`` however large the
+    corpus grew — it scales with a knob decoupled from the embedding
+    resolution.  Sizing recipe for a corpus of n clips: pick
+    ``lsh_bits ≈ log2(n)`` so uniform-random bucket occupancy stays
+    O(1), then size ``lsh_bands`` to the recall target — a pair at
+    cosine c is missed with ``(1 - (1 - arccos(c)/π)**lsh_bits)
+    ** lsh_bands`` (defaults 16/4: miss 1.8e-3 at c=0.999, 4.9e-4 at
+    the ≥0.9995 the fixture's planted gain+codec+noise copies measure).
+    Clips that merely SHARE a dominant mel band but differ in content
+    (cosine ~0.8) spread across signatures instead of piling into one
+    band bucket — the hot-band pathology the peak key had (pinned by
+    ``test_audio_lsh_hot_band_bounded``).  ``blocking="peak"`` keeps
+    the old top-2-mel-band probes (still sound at small scale, and
+    stable where IVF centroid assignment degenerates on peaked
+    spectra — measured: two copies at cosine 1-1e-9 landing in four
+    distinct centroid buckets).
 
     Verification is the exact per-pair cosine: ``method="catalyst"``
     (default) as a pure expression; ``method="blas"`` one Gram-matrix
@@ -306,9 +400,8 @@ def audio_near_dup_pairs(clips: DataFrame, threshold: float = 0.999,
     emb = scope.share(
         audio_embeddings(clips, n_mels, frame_ms, hop_ms, f_lo, f_hi)
         .filter(F.col("embedding").isNotNull()))
-    assigned = emb.select("clip_id",
-                          F.explode("top_bands").alias("bucket"),
-                          F.col("embedding").alias("vec"))
+    assigned = _assigned_buckets(emb, blocking, lsh_bits, lsh_bands,
+                                 lsh_seed)
 
     if method == "blas":
         from drain3_spark.pipeline.similarity import _blas_pairs_by_block
@@ -352,27 +445,34 @@ def audio_near_dup_pairs(clips: DataFrame, threshold: float = 0.999,
 
 def audio_embedding_index(clips: DataFrame, n_mels: int = 64,
                           frame_ms: int = 64, hop_ms: int = 32,
-                          f_lo: float = 100.0,
-                          f_hi: float = 3500.0) -> DataFrame:
+                          f_lo: float = 100.0, f_hi: float = 3500.0,
+                          blocking: str = "lsh", lsh_bits: int = 16,
+                          lsh_bands: int = 4,
+                          lsh_seed: int = 7) -> DataFrame:
     """``(clip_id, bucket, embedding)`` — the PERSISTED ASSET of an
-    incremental audio-dedup pipeline: one row per (clip, probe band),
-    two probes per clip.  Write it once per corpus; each new ingest
-    batch joins its own probe rows against the stored index
+    incremental audio-dedup pipeline: one row per (clip, probe),
+    ``lsh_bands`` LSH probes per clip (or two top-mel-band probes under
+    ``blocking="peak"``; same schemes and scale story as
+    :func:`audio_near_dup_pairs`).  Write it once per corpus; each new
+    ingest batch joins its own probe rows against the stored index
     (:func:`audio_incremental_duplicates`) instead of re-decoding the
     corpus.  Unlike the text LSH index, the embedding itself rides in
     the index row, so the verify step needs NO payload fetch-back —
     ~1 KB per clip regardless of clip length."""
     emb = (audio_embeddings(clips, n_mels, frame_ms, hop_ms, f_lo, f_hi)
            .filter(F.col("embedding").isNotNull()))
-    return emb.select("clip_id", F.explode("top_bands").alias("bucket"),
-                      "embedding")
+    return (_assigned_buckets(emb, blocking, lsh_bits, lsh_bands, lsh_seed)
+            .select("clip_id", "bucket", F.col("vec").alias("embedding")))
 
 
 def audio_incremental_duplicates(new_clips: DataFrame, index: DataFrame,
                                  threshold: float = 0.999,
                                  n_mels: int = 64, frame_ms: int = 64,
                                  hop_ms: int = 32, f_lo: float = 100.0,
-                                 f_hi: float = 3500.0) -> DataFrame:
+                                 f_hi: float = 3500.0,
+                                 blocking: str = "lsh", lsh_bits: int = 16,
+                                 lsh_bands: int = 4,
+                                 lsh_seed: int = 7) -> DataFrame:
     """Near-duplicates of a NEW clip batch against an EXISTING corpus,
     touched only through its embedding index — the incremental shape a
     continuously-growing audio corpus needs.  Per-batch cost is
@@ -382,7 +482,8 @@ def audio_incremental_duplicates(new_clips: DataFrame, index: DataFrame,
     semi-join).  Returns ``(new_id, old_id, cosine)`` with the same
     exact-cosine verify semantics as :func:`audio_near_dup_pairs`.
 
-    The index's ``n_mels``/frame parameters must match the arguments
+    The index's ``n_mels``/frame AND blocking parameters (scheme,
+    ``lsh_bits``/``lsh_bands``/``lsh_seed``) must match the arguments
     here — bucket ids and embedding dimensions are only comparable
     within one parameterization."""
     from drain3_spark.pipeline.similarity import cosine_col
@@ -390,7 +491,8 @@ def audio_incremental_duplicates(new_clips: DataFrame, index: DataFrame,
 
     new_idx = widen_small_scan(
         audio_embedding_index(new_clips, n_mels, frame_ms, hop_ms,
-                              f_lo, f_hi))
+                              f_lo, f_hi, blocking, lsh_bits, lsh_bands,
+                              lsh_seed))
     cand = (new_idx.select(F.col("clip_id").alias("new_id"), "bucket",
                            F.col("embedding").alias("vec_new"))
             .join(index.select(F.col("clip_id").alias("old_id"), "bucket",

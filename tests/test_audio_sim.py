@@ -346,3 +346,65 @@ def test_denoise_clips(spark):
     local = np.clip(audio_sim._wiener_denoise(
         noisy.astype(np.float64), sr), -1, 1).astype(np.float32)
     assert np.array_equal(got["noisy"].astype(np.float32), local)
+
+
+def test_audio_lsh_hot_band_bounded(spark):
+    """Pathological corpus for the OLD top-mel-band key: every clip's
+    dominant tone sits in the SAME mel band (hot band), secondary
+    content differs per clip.  Peak blocking piles the whole corpus
+    into one bucket (occupancy n -> quadratic candidate work at scale);
+    LSH blocking spreads it across signatures (per-bucket occupancy
+    bounded) while the planted true duplicate is still found."""
+    sr, n = 16000, 120
+    t = np.arange(sr * 4 // 10) / sr                   # 400 ms
+    rows = []
+    rng = np.random.default_rng(3)
+    for i in range(n):
+        # dominant 1 kHz tone (one mel band) + per-clip secondary tone
+        f2 = 150.0 + 3200.0 * (i / n)
+        pcm = (np.sin(2 * np.pi * 1000.0 * t)
+               + 0.7 * np.sin(2 * np.pi * f2 * t + rng.uniform(0, 1)))
+        pcm = (0.5 * pcm / np.abs(pcm).max()).astype(np.float32)
+        rows.append((f"hot-{i:04d}", bytearray(encode(pcm, "pcm_f32le")),
+                     sr, 400, "pcm_f32le"))
+    # planted duplicate of clip 0: gain change only
+    base0 = decode(bytes(rows[0][1]), "pcm_f32le")
+    rows.append(("hot-dup0", bytearray(encode((0.8 * base0).astype(np.float32),
+                                              "pcm_f32le")), sr, 400,
+                 "pcm_f32le"))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+
+    def max_occupancy(blocking):
+        idx = audio_sim.audio_embedding_index(df, blocking=blocking)
+        occ = idx.groupBy("bucket").count().agg(
+            {"count": "max"}).collect()[0][0]
+        return int(occ)
+
+    peak_occ = max_occupancy("peak")
+    lsh_occ = max_occupancy("lsh")
+    # every clip's top band is the 1 kHz band: the peak key collapses
+    assert peak_occ == n + 1, peak_occ
+    # LSH spreads the hot band across 2^16-key signatures per band
+    assert lsh_occ <= n // 4, (lsh_occ, peak_occ)
+
+    # candidate work is bounded accordingly: same-bucket pair count
+    # under LSH is a small fraction of the all-pairs peak blocking
+    from pyspark.sql import functions as F
+
+    def candidate_pairs(blocking):
+        idx = audio_sim.audio_embedding_index(df, blocking=blocking)
+        a = idx.select(F.col("clip_id").alias("a"), "bucket")
+        b = idx.select(F.col("clip_id").alias("b"), "bucket")
+        return (a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+                .select("a", "b").distinct().count())
+
+    n_peak = candidate_pairs("peak")
+    n_lsh = candidate_pairs("lsh")
+    assert n_peak >= n * (n - 1) // 2          # the quadratic pathology
+    assert n_lsh <= n_peak // 4, (n_lsh, n_peak)
+
+    # the true duplicate survives LSH blocking and the exact verify
+    got = {(r.clip_id_a, r.clip_id_b)
+           for r in audio_sim.audio_near_dup_pairs(df, 0.999).collect()}
+    assert ("hot-0000", "hot-dup0") in got
