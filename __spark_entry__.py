@@ -500,8 +500,8 @@ def _q37_audio_spectral(spark, sf):
 def _q39_audio_neardup(spark, sf):
     """Audio near-duplicate pairs over an unlabeled clip corpus with
     planted perturbed duplicates (gain 0.9 + noise + codec re-quant):
-    mel-spectral embedding (pipeline/audio_sim.py) composed with the
-    spectral-peak (top-2 mel band) multi-probe blocking + exact
+    mel-spectral embedding (pipeline/audio_sim.py) composed with
+    random-hyperplane LSH blocking (data-scalable bucket space) + exact
     cosine verify, the blocked-pair shape shared with q38's operator.
     Rows-only: FFT-derived embeddings have no SQL oracle; the planted
     pairs and numpy-brute-force parity are pinned by
@@ -572,6 +572,58 @@ def _q42_audio_incremental(spark, sf):
                                          threshold=0.999)
     return pairs.select("new_id", "old_id",
                         F.round("cosine", 6).alias("cosine"))
+
+
+def _q44_audio_dedup_groups(spark, sf):
+    """The audio dedup family's transitive-closure step: q39's
+    near-dup pairs fed through dedup_groups (hash-min connected
+    components + keeper selection) — the decision table a real pipeline
+    consumes (drop rows where is_keeper=0).  Rows-only (FFT embeddings
+    upstream); the planted components ({clip-i, dup-i} same group, one
+    keeper per group) are pinned by test_q44_audio_groups_pin."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_sim import audio_near_dup_pairs
+    from drain3_spark.pipeline.dedup import dedup_groups
+    base = FX.gen_clips(spark, 200, dirty=False, dur_lo=250, dur_hi=600)
+    dups = FX.gen_clip_dups(spark, 200, every=10, dur_lo=250, dur_hi=600)
+    pairs = audio_near_dup_pairs(base.unionByName(dups), threshold=0.999)
+    g = dedup_groups(pairs, id_a="clip_id_a", id_b="clip_id_b")
+    return g.select(F.col("id").alias("clip_id"), "group_id",
+                    F.col("is_keeper").cast("int").alias("is_keeper"))
+
+
+def _q45_audio_pipeline(spark, sf):
+    """Graded transformation chain over clips with planted
+    leading/trailing silence: trim_silence -> normalize_gain ->
+    denoise_clips -> spectral features, with the per-stage evidence
+    (trim amounts, applied gain) joined back on clip_id.  Intermediate
+    stages are persisted once (_SharedScope) so the decode chain runs
+    once per stage, not once per consuming branch.  Rows-only;
+    value-pinned by test_q45_audio_pipeline_pin (independent numpy
+    replay of pad/trim/gain per clip)."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_sim import (denoise_clips,
+                                                 normalize_gain,
+                                                 trim_silence)
+    from drain3_spark.pipeline.dedup import _SharedScope
+    from drain3_spark.pipeline.multimodal import audio_spectral_features
+    scope = _SharedScope()
+    clips = FX.gen_clips_padded(spark, 120, dur_lo=250, dur_hi=600)
+    trimmed = scope.share(trim_silence(clips))
+    normed = scope.share(normalize_gain(trimmed, target_rms=0.1))
+    feats = audio_spectral_features(denoise_clips(normed))
+    stats = (feats
+             .join(trimmed.select("clip_id", "trimmed_lead_ms",
+                                  "trimmed_tail_ms"), "clip_id")
+             .join(normed.select("clip_id", "gain_db"), "clip_id"))
+    out = stats.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("dominant_freq_hz"), 2).alias("avg_dominant_hz"),
+        F.round(F.avg("trimmed_lead_ms"), 2).alias("avg_trim_lead_ms"),
+        F.round(F.avg("trimmed_tail_ms"), 2).alias("avg_trim_tail_ms"),
+        F.round(F.avg("gain_db"), 3).alias("avg_gain_db"),
+        F.round(F.avg("silence_ratio"), 6).alias("avg_silence"))
+    return scope.attach(out)
 
 
 def _q43_image_formats(spark, sf):
@@ -724,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_audio_resample": _q41_audio_resample,
         "q42_audio_incremental": _q42_audio_incremental,
         "q43_image_formats": _q43_image_formats,
+        "q44_audio_dedup_groups": _q44_audio_dedup_groups,
+        "q45_audio_pipeline": _q45_audio_pipeline,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,

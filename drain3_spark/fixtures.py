@@ -202,6 +202,46 @@ def gen_clips(spark: SparkSession, n: int, dirty: bool = False,
     return spark.range(0, n, numPartitions=parts).mapInPandas(synth, CLIPS_SCHEMA)
 
 
+def pad_ms(m: Dict) -> tuple:
+    """Deterministic (lead_ms, tail_ms) digital-silence pads for a clip
+    metadata record — pure function of the id hash so a local replay
+    recomputes the expected trim exactly (q45 pin)."""
+    h = m["h"]
+    return 40 + (h >> 40) % 80, 40 + (h >> 46) % 80
+
+
+def gen_clips_padded(spark: SparkSession, n: int, n_ds: int = 7,
+                     dur_lo: int = 200, dur_hi: int = 3000,
+                     partitions: Optional[int] = None) -> DataFrame:
+    """Clean clips whose payloads carry deterministic leading/trailing
+    digital silence (zeros) around the reference tone — the fixture for
+    the trim → normalize → denoise transformation pipeline (q45).
+    ``dur_ms`` reflects the padded length."""
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
+    kw = dict(n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi, dirty=False)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CLIPS_SCHEMA.fields]
+        for b in batches:
+            rows: List[tuple] = []
+            for i in b["id"]:
+                m = row_meta(int(i), **kw)
+                sr = m["sr_hz"]
+                lead_ms, tail_ms = pad_ms(m)
+                pcm = reference_pcm(m["clip_id"], sr, m["dur_ms"])
+                padded = np.concatenate([
+                    np.zeros(sr * lead_ms // 1000, np.float32), pcm,
+                    np.zeros(sr * tail_ms // 1000, np.float32)])
+                rows.append((m["clip_id"], bytearray(encode(padded, m["codec"])),
+                             sr, m["dur_ms"] + lead_ms + tail_ms, m["codec"],
+                             m["transcript"], m["ds"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(synth, CLIPS_SCHEMA)
+
+
 IMAGES_SCHEMA = T.StructType([
     T.StructField("item_id", T.StringType()),
     T.StructField("fmt", T.StringType()),

@@ -636,7 +636,11 @@ def _wiener_denoise(pcm: np.ndarray, sr: int, frame_ms: int = 32,
         axis=1)
     P = np.abs(S) ** 2
     floor = np.median(P, axis=1, keepdims=True)
-    gain = P / (P + alpha * floor)
+    # an all-zero frame (digital silence) has P = floor = 0: the Wiener
+    # ratio is 0/0 there — define its gain as 0 (nothing to pass) or
+    # NaN would ride irfft + overlap-add into neighboring real samples
+    denom = P + alpha * floor
+    gain = np.divide(P, denom, out=np.zeros_like(P), where=denom > 0.0)
     frames = np.fft.irfft(S * gain, n=frame, axis=1) * win
     y = np.zeros(len(x))
     wsum = np.zeros(len(x))

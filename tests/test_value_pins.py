@@ -264,3 +264,75 @@ def test_q43_image_formats_pin(spark):
         want[f] += bin0(img)
     for f, r in rows.items():
         assert abs(r.bin0_sum - round(want[f], 4)) <= 1e-9, f
+
+
+# --------------------------------------------------------------- q44
+
+def test_q44_audio_groups_pin(spark):
+    """Transitive closure over the audio near-dup pairs: every planted
+    (clip-i, dup-i) pair lands in ONE group, each group elects exactly
+    one keeper, and the keeper/group label is the group's minimum id
+    (hash-min connected components)."""
+    rows = entry.queries()["q44_audio_dedup_groups"](spark, SF).collect()
+    group = {r.clip_id: r.group_id for r in rows}
+    for i in range(0, 200, 10):
+        a, b = f"clip-{i:010d}", f"dup-{i:010d}"
+        assert group[a] == group[b], (a, b)
+    from collections import defaultdict
+    members = defaultdict(list)
+    keepers = defaultdict(list)
+    for r in rows:
+        members[r.group_id].append(r.clip_id)
+        if r.is_keeper:
+            keepers[r.group_id].append(r.clip_id)
+    for gid, mem in members.items():
+        assert keepers[gid] == [gid] == [min(mem)], (gid, mem)
+
+
+# --------------------------------------------------------------- q45
+
+def test_q45_audio_pipeline_pin(spark):
+    """Graded trim -> normalize -> denoise -> features chain == an
+    independent numpy replay: pads, trim frame arithmetic, and the
+    applied gain are recomputed per clip from the deterministic fixture
+    params; the dominant frequency must survive the whole chain."""
+    from drain3_spark.audio.codecs import decode, encode
+    from drain3_spark.audio.synth import clip_params, reference_pcm
+
+    row = entry.queries()["q45_audio_pipeline"](spark, SF).collect()[0]
+    assert row.n_clips == 120
+    assert row.avg_silence == 0.0          # all planted silence trimmed
+
+    leads, tails, gains, freqs = [], [], [], []
+    for i in range(120):
+        m = FX.row_meta(i, n_ds=7, dur_lo=250, dur_hi=600, dirty=False)
+        sr, codec = m["sr_hz"], m["codec"]
+        lead_ms, tail_ms = FX.pad_ms(m)
+        pcm = reference_pcm(m["clip_id"], sr, m["dur_ms"])
+        padded = np.concatenate([np.zeros(sr * lead_ms // 1000, np.float32),
+                                 pcm, np.zeros(sr * tail_ms // 1000,
+                                               np.float32)])
+        # codec round-trip exactly as the fixture stores the payload
+        x = decode(encode(padded, codec), codec).astype(np.float64)
+        # trim_silence replay: 20 ms frames, RMS threshold 0.01
+        frame = max(sr * 20 // 1000, 1)
+        nf = max(len(x) // frame, 1)
+        xs = x[:nf * frame]
+        rms = np.sqrt((xs.reshape(nf, frame) ** 2).mean(axis=1))
+        live = np.flatnonzero(rms >= 0.01)
+        lo_f, hi_f = int(live[0]), int(live[-1]) + 1
+        lo, hi = lo_f * frame, min(hi_f * frame, len(x))
+        leads.append(round(lo * 1000.0 / sr))
+        tails.append(round((len(x) - hi) * 1000.0 / sr))
+        # normalize_gain replay over the trim stage's re-encoded output
+        y = decode(encode(x[lo:hi].astype(np.float32), codec),
+                   codec).astype(np.float64)
+        g = min(0.1 / float(np.sqrt(np.mean(y ** 2))), 100.0)
+        gains.append(20.0 * np.log10(g))
+        freqs.append(clip_params(m["clip_id"])["freq"])
+
+    assert abs(row.avg_trim_lead_ms - round(np.mean(leads), 2)) <= 0.01
+    assert abs(row.avg_trim_tail_ms - round(np.mean(tails), 2)) <= 0.01
+    assert abs(row.avg_gain_db - round(np.mean(gains), 3)) <= 2e-3
+    # denoise must not move the tone: dominant freq tracks synthesis
+    assert abs(row.avg_dominant_hz - np.mean(freqs)) <= 5.0
