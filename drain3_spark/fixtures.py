@@ -451,8 +451,9 @@ def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
                            height: int = 16,
                            partitions: Optional[int] = None) -> DataFrame:
     """Image corpus cycling through EVERY native container — PPM, BMP,
-    PNG, JPEG (lossy), GIF (palette-quantized to the 216-color web
-    cube), TIFF (PackBits) — same md5-keystream pixels as
+    PNG, JPEG (lossy baseline), GIF (palette-quantized to the 216-color
+    web cube), TIFF (PackBits), progressive JPEG (SOF2, same
+    quantization ladder as baseline) — same md5-keystream pixels as
     :func:`gen_images`, so each row's decoded output is checkable
     against the regenerated source (exactly for the lossless
     containers, to PSNR for JPEG, to the web-cube quantization for
@@ -462,7 +463,8 @@ def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _st
-        from drain3_spark.pipeline.jpeg import encode_jpeg
+        from drain3_spark.pipeline.jpeg import (encode_jpeg,
+                                                encode_jpeg_progressive)
         from drain3_spark.pipeline.multimodal import (encode_gif, encode_png,
                                                       encode_tiff)
         cube = np.array([(r, g, b) for r in range(0, 256, 51)
@@ -473,7 +475,7 @@ def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
             for i in b["id"]:
                 i = int(i)
                 img = _md5_pixels(i, width, height)
-                f = i % 6
+                f = i % 7
                 if f == 0:
                     fmt, payload = "ppm", (b"P6\n%d %d\n255\n"
                                            % (width, height) + img.tobytes())
@@ -498,8 +500,11 @@ def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
                             + np.round(img[..., 2] / 51.0))
                            .astype(np.uint8))
                     fmt, payload = "gif", encode_gif(idx, cube)
-                else:
+                elif f == 5:
                     fmt, payload = "tiff", encode_tiff(img, packbits=True)
+                else:
+                    fmt, payload = "jpeg-prog", encode_jpeg_progressive(
+                        img, quality=92)
                 rows.append((f"img-{i:08d}", fmt, bytearray(payload)))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA])
 

@@ -1,9 +1,11 @@
-"""Library-free baseline JPEG codec (stdlib + numpy).
+"""Library-free baseline + progressive JPEG codec (stdlib + numpy).
 
-Decoder: baseline sequential DCT JFIF (SOF0) — grayscale and YCbCr
-with 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart markers, byte
-stuffing.  Progressive (SOF2), arithmetic coding, and 12-bit depth
-raise a declared ``NotImplementedError``.  Output matches the PNM/BMP
+Decoder: baseline sequential DCT JFIF (SOF0/1) AND progressive DCT
+(SOF2, T.81 Annex G: spectral selection + successive approximation,
+DC first/refinement and AC first/refinement scans with EOB runs) —
+grayscale and YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart
+markers, byte stuffing.  Arithmetic coding and 12-bit depth raise a
+declared ``NotImplementedError``.  Output matches the PNM/BMP
 decoders' conventions: (H, W, 3) uint8 RGB, grayscale stays (H, W, 1).
 
 Encoder: the test/fixture-side counterpart — baseline 4:4:4, 4:2:2,
@@ -12,7 +14,12 @@ tables
 scaled by a quality factor, the specification's typical Huffman
 tables.  A decode(encode(img)) round trip recovers the image to
 quantization accuracy (pinned by the PSNR tests in
-``tests/test_jpeg.py``).
+``tests/test_jpeg.py``).  :func:`encode_jpeg_progressive` emits a
+multi-scan SOF2 stream (libjpeg-style script: DC at Al=1 + DC
+refinement, banded AC first scans + AC refinement to Al=0) whose fully
+refined coefficients equal the baseline encoder's — so progressive
+decode must reproduce the baseline round-trip BIT-EXACTLY (pinned by
+``test_progressive_matches_baseline``).
 
 The IDCT/DCT run as 8x8 matrix products against a precomputed
 orthonormal DCT-II basis — numpy-native, no per-coefficient loops.
@@ -272,7 +279,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(body[p + 17:p + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -281,11 +288,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} not supported (baseline only)")
+                f"JPEG SOF{marker - 0xC0} not supported "
+                "(baseline + progressive only)")
         elif marker == 0xDD:           # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:           # SOS — entropy data follows
@@ -294,10 +303,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append({"cs": cs, "dc": tt >> 4, "ac": tt & 0x0F})
-            pos += seglen
-            return _decode_scan(data, pos, frame, scan, qtables, htables,
-                                restart_interval)
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if not frame.get("progressive"):
+                pos += seglen
+                return _decode_scan(data, pos, frame, scan, qtables,
+                                    htables, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos + seglen, frame, scan, htables, restart_interval,
+                ss, se, ahal >> 4, ahal & 0x0F)
+            continue                   # more scans (or EOI) follow
         pos += seglen
+    if frame is not None and frame.get("progressive") and "state" in frame:
+        return _finish_progressive(frame, qtables)
     raise ValueError("JPEG missing SOS")
 
 
@@ -386,6 +406,211 @@ def _decode_block(reader: _BitReader, c) -> np.ndarray:
     return _C.T @ blk @ _C             # IDCT
 
 
+# -------------------------------------------------- progressive decoder
+
+def _prog_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _prog_state(frame):
+    """Per-component zigzag-order coefficient arrays, allocated once and
+    refined scan by scan (T.81 G.2)."""
+    if "state" not in frame:
+        hmax, vmax, mcux, mcuy = _prog_geometry(frame)
+        frame["state"] = {
+            c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+            for c in frame["comps"]}
+    return frame["state"]
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips entropy
+    bytes, 0xFF00 stuffing, and 0xFF fill bytes)."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_progressive_scan(data, pos, frame, scan, htables,
+                             restart_interval, ss, se, ah, al) -> int:
+    """Decode one SOF2 scan into the frame's coefficient state; returns
+    the position of the next marker.  DC scans (ss == 0) may be
+    interleaved; AC scans are single-component per T.81 G.1.1."""
+    state = _prog_state(frame)
+    hmax, vmax, mcux, mcuy = _prog_geometry(frame)
+    by_id = {c["id"]: c for c in frame["comps"]}
+    order = [by_id[s["cs"]] for s in scan]
+    for c, s in zip(order, scan):
+        if ss == 0:
+            c["dcT"] = htables.get((0, s["dc"]))
+        else:
+            c["acT"] = htables.get((1, s["ac"]))
+        c["pred"] = 0
+    reader = _BitReader(data, pos)
+    ctx = {"eobrun": 0}
+
+    if len(order) > 1 or (ss == 0 and len(order) == len(frame["comps"])):
+        # interleaved DC scan, MCU order
+        if ss != 0:
+            raise ValueError("interleaved progressive AC scan")
+        n_units = mcux * mcuy
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for c in order:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            blocks.append(
+                                (c, my * c["v"] + v, mx * c["h"] + hh))
+                units.append(blocks)
+    else:
+        # single-component scan, component-raster block order
+        c = order[0]
+        bw_i = (-(-frame["w"] * c["h"] // hmax) + 7) // 8
+        bh_i = (-(-frame["h"] * c["v"] // vmax) + 7) // 8
+        n_units = bw_i * bh_i
+        units = [[(c, i // bw_i, i % bw_i)] for i in range(n_units)]
+
+    for u, blocks in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            m = reader.align_to_marker()
+            if not (0xFFD0 <= m <= 0xFFD7):
+                raise ValueError(f"expected RSTn in progressive scan, "
+                                 f"got {m:#x}")
+            for c in order:
+                c["pred"] = 0
+            ctx["eobrun"] = 0
+        try:
+            for c, byi, bxi in blocks:
+                coef = state[c["id"]][byi, bxi]
+                if ss == 0:
+                    if ah == 0:
+                        sz = _huff_decode(reader, c["dcT"])
+                        diff = _extend(reader.read_bits(sz), sz) if sz else 0
+                        c["pred"] += diff
+                        coef[0] = c["pred"] << al
+                    elif reader.read_bit():
+                        # DC refinement: append one magnitude bit
+                        # (two's-complement OR matches the encoder's
+                        # arithmetic-shift point transform)
+                        coef[0] |= (1 << al)
+                elif ah == 0:
+                    _ac_first_block(reader, c["acT"], coef, ss, se, al, ctx)
+                else:
+                    _ac_refine_block(reader, c["acT"], coef, ss, se, al, ctx)
+        except _MarkerHit as e:
+            raise ValueError(
+                f"unexpected marker {e.marker:#x} inside progressive scan")
+    return _next_marker_pos(data, reader.pos)
+
+
+def _ac_first_block(reader, acT, coef, ss, se, al, ctx) -> None:
+    """T.81 G.2.2 decode of one block in an AC first scan (ah == 0)."""
+    if ctx["eobrun"] > 0:
+        ctx["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, acT)
+        r, sz = rs >> 4, rs & 0x0F
+        if sz == 0:
+            if r != 15:
+                ctx["eobrun"] = (1 << r) - 1
+                if r:
+                    ctx["eobrun"] += reader.read_bits(r)
+                return
+            k += 16                    # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        coef[k] = _extend(reader.read_bits(sz), sz) << al
+        k += 1
+
+
+def _ac_refine_block(reader, acT, coef, ss, se, al, ctx) -> None:
+    """T.81 G.2.3 decode of one block in an AC refinement scan: newly
+    significant coefficients arrive as ±1<<al; already-significant ones
+    consume one correction bit each as the run passes over them."""
+    p1 = 1 << al
+    k = ss
+
+    def refine(kk: int) -> None:
+        if reader.read_bit() and not (int(coef[kk]) & p1):
+            coef[kk] += p1 if coef[kk] >= 0 else -p1
+
+    if ctx["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, acT)
+            r, sz = rs >> 4, rs & 0x0F
+            val = 0
+            if sz == 0:
+                if r != 15:
+                    ctx["eobrun"] = (1 << r)
+                    if r:
+                        ctx["eobrun"] += reader.read_bits(r)
+                    break
+            else:
+                if sz != 1:
+                    raise ValueError("AC refinement magnitude > 1")
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                if coef[k] != 0:
+                    refine(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if ctx["eobrun"] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                refine(k)
+            k += 1
+        ctx["eobrun"] -= 1
+
+
+def _finish_progressive(frame, qtables) -> np.ndarray:
+    """Dequantize the accumulated coefficient state and inverse-DCT all
+    blocks of each component in ONE einsum (no per-block Python), then
+    upsample/crop/color-convert exactly like the baseline path."""
+    state = frame["state"]
+    hmax, vmax, mcux, mcuy = _prog_geometry(frame)
+    h, w = frame["h"], frame["w"]
+    planes = []
+    for c in frame["comps"]:
+        coef = state[c["id"]].astype(np.float64)      # (by, bx, 64) zigzag
+        nat = np.zeros_like(coef)
+        nat[..., ZIGZAG] = coef
+        nat = nat.reshape(*nat.shape[:2], 8, 8) \
+            * qtables[c["tq"]].astype(np.float64)
+        pix = np.einsum("ij,byjk,kl->byil", _C.T, nat, _C)
+        by, bx = pix.shape[:2]
+        p = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        planes.append(p[:h, :w])
+    out = np.stack(planes, axis=-1)
+    out = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
+    if len(planes) == 1:
+        return np.ascontiguousarray(out)
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component JPEG")
+    return np.ascontiguousarray(_ycbcr_to_rgb(out))
+
+
 def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
     y = img[..., 0].astype(np.float64)
     cb = img[..., 1].astype(np.float64) - 128.0
@@ -466,14 +691,12 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray, q: np.ndarray,
     return int(zz[0])
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90,
-                subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Baseline JFIF bytes for (H, W, 1|3) uint8 — Annex K tables at
-    ``quality``; ``subsampling`` is ``"444"``, ``"422"`` (2x1
-    box-filtered chroma, 16x8 MCUs), or ``"420"`` (2x2, 16x16 MCUs);
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs."""
+def _prep_planes(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front end: color-convert + chroma-subsample and
+    pick per-component quant tables / sampling factors.  Returns
+    ``(h, w, nch, planes, qs, tsel, hv, ql, qc)`` — identical for the
+    baseline and progressive encoders so their quantized coefficients
+    (and therefore decoded pixels) agree exactly."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nch = img.shape
@@ -506,6 +729,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         qs = [ql]
         tsel = [0]
         hv = [(1, 1)]
+    return h, w, nch, planes, qs, tsel, hv, ql, qc
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Baseline JFIF bytes for (H, W, 1|3) uint8 — Annex K tables at
+    ``quality``; ``subsampling`` is ``"444"``, ``"422"`` (2x1
+    box-filtered chroma, 16x8 MCUs), or ``"420"`` (2x2, 16x16 MCUs);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs."""
+    h, w, nch, planes, qs, tsel, hv, ql, qc = _prep_planes(
+        img, quality, subsampling)
 
     out = bytearray(b"\xff\xd8")                       # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
@@ -566,5 +802,292 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                             enc_tables[(1, tsel[ci])], preds[ci])
             mcu_count += 1
     out += bw.flush()
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+# -------------------------------------------------- progressive encoder
+
+def _make_ac_prog_table() -> Tuple[List[int], List[int]]:
+    """AC Huffman table for progressive scans: the Annex K baseline AC
+    tables define no EOBn symbols for n > 0, so SOF2 scans need their
+    own DHT.  A uniform 8-bit canonical table over every symbol a
+    progressive AC scan can emit — EOBn ``(r << 4)`` for r = 0..14, ZRL
+    0xF0, and ``(r << 4) | s`` for r = 0..15, s = 1..10 — is valid by
+    Kraft (176/256 < 1, all-ones code unused) and keeps the encoder
+    single-pass (no per-scan frequency optimization)."""
+    values = [r << 4 for r in range(15)] + [0xF0]
+    values += [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    bits = [0] * 16
+    bits[7] = len(values)
+    return bits, values
+
+
+_AC_PROG = _make_ac_prog_table()
+
+
+def _comp_coeff_grid(plane: np.ndarray, q: np.ndarray,
+                     n_by: int, n_bx: int) -> np.ndarray:
+    """(n_by, n_bx, 64) zigzag-order quantized coefficients over the
+    MCU-padded block grid — block for block the same quantities the
+    baseline encoder's ``_encode_block`` produces (same ``_pad_block``
+    edge policy, same DCT expression, same rounding), so a fully
+    refined progressive stream decodes to the identical pixels."""
+    zzc = np.zeros((n_by, n_bx, 64), np.int32)
+    for by in range(n_by):
+        for bx in range(n_bx):
+            blk = _pad_block(plane, by * 8, bx * 8)
+            qz = np.round((_C @ (blk - 128.0) @ _C.T) / q).astype(np.int64)
+            zzc[by, bx] = qz.flat[ZIGZAG]
+    return zzc
+
+
+def _sos_segment(specs: List[Tuple[int, int, int]], ss: int, se: int,
+                 ah: int, al: int) -> bytes:
+    body = bytes([len(specs)])
+    for cs, td, ta in specs:
+        body += bytes([cs, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+class _ProgScanWriter:
+    """Entropy-coded-segment writer for one progressive scan: owns the
+    bit writer, the cross-block EOB run, the pending correction bits
+    (refinement scans), and restart-marker emission."""
+
+    def __init__(self, out: bytearray, acT, restart_interval: int) -> None:
+        self.out = out
+        self.acT = acT
+        self.ri = restart_interval
+        self.bw = _BitWriter()
+        self.eobrun = 0
+        self.pend: List[int] = []      # buffered correction bits
+        self.rst = 0
+        self.units = 0
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.acT[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pend:
+            self.bw.write(b, 1)
+        self.pend = []
+
+    def unit_boundary(self) -> None:
+        """Call before each unit (MCU or block); emits RSTn on the
+        restart grid exactly like the baseline encoder."""
+        if self.ri and self.units and self.units % self.ri == 0:
+            self.flush_eobrun()
+            self.out += self.bw.flush()
+            self.bw = _BitWriter()
+            self.out += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) % 8
+        self.units += 1
+
+    def finish(self) -> None:
+        self.flush_eobrun()
+        self.out += self.bw.flush()
+
+
+def _enc_ac_first_block(w: _ProgScanWriter, zz: np.ndarray,
+                        ss: int, se: int, al: int) -> None:
+    """T.81 G.1.2.2 — one block of an AC first scan (Ah == 0): encode
+    ``|coef| >> al`` with sign, folding all-zero bands into cross-block
+    EOB runs."""
+    run = 0
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        v = abs(c) >> al
+        if v == 0:
+            run += 1
+            continue
+        w.flush_eobrun()
+        while run > 15:
+            code, ln = w.acT[0xF0]                    # ZRL
+            w.bw.write(code, ln)
+            run -= 16
+        sz = v.bit_length()
+        code, ln = w.acT[(run << 4) | sz]
+        w.bw.write(code, ln)
+        w.bw.write(v if c > 0 else (-v) + (1 << sz) - 1, sz)
+        run = 0
+    if run > 0:
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.flush_eobrun()
+
+
+def _enc_ac_refine_block(w: _ProgScanWriter, zz: np.ndarray,
+                         ss: int, se: int, al: int) -> None:
+    """T.81 G.1.2.3 — one block of an AC refinement scan (Ah == al+1):
+    newly significant coefficients (|coef| >> al == 1) are coded as
+    run/size-1 with a sign bit; already-significant ones contribute one
+    buffered correction bit each, emitted after the next symbol."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1                       # after the last newly-significant
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    run = 0
+    br: List[int] = []                 # this block's correction bits
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            w.flush_eobrun()
+            code, ln = w.acT[0xF0]                    # ZRL
+            w.bw.write(code, ln)
+            run -= 16
+            for b in br:
+                w.bw.write(b, 1)
+            br = []
+        if t > 1:                      # already significant
+            br.append(t & 1)
+            continue
+        w.flush_eobrun()
+        code, ln = w.acT[(run << 4) | 1]
+        w.bw.write(code, ln)
+        w.bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in br:
+            w.bw.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        w.eobrun += 1
+        w.pend.extend(br)
+        if w.eobrun == 0x7FFF or len(w.pend) > 937:
+            w.flush_eobrun()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """Progressive (SOF2) JFIF bytes for (H, W, 1|3) uint8 — same
+    Annex K quantization ladder as :func:`encode_jpeg`, emitted as a
+    libjpeg-style scan script that exercises all four scan kinds:
+
+    1. interleaved DC first scan at Al=1,
+    2. per-component AC first scans, bands 1-5 then 6-63, at Al=1,
+    3. per-component AC refinement scans of both bands to Al=0,
+    4. interleaved DC refinement scan to Al=0.
+
+    The fully refined coefficients equal the baseline encoder's, so
+    ``decode_jpeg`` must return pixel-identical output for the two
+    streams (pinned by ``test_progressive_matches_baseline``)."""
+    h, w, nch, planes, qs, tsel, hv, ql, qc = _prep_planes(
+        img, quality, subsampling)
+
+    hmax = max(x[0] for x in hv)
+    vmax = max(x[1] for x in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []                         # per component: MCU-padded grid
+    real = []                          # per component: (bh_i, bw_i)
+    for ci in range(nch):
+        ch, cv = hv[ci]
+        grids.append(_comp_coeff_grid(planes[ci], qs[ci],
+                                      mcuy * cv, mcux * ch))
+        real.append(((-(-h * cv // vmax) + 7) // 8,
+                     (-(-w * ch // hmax) + 7) // 8))
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"       # APP0
+    for tq, q in ((0, ql), (1, qc))[:1 if nch == 1 else 2]:
+        zzq = np.zeros(64, np.uint8)
+        zzq[:] = q.reshape(-1)[ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(zzq)
+    # SOF2
+    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * nch) + b"\x08" \
+        + struct.pack(">HH", h, w) + bytes([nch])
+    for ci in range(nch):
+        out += bytes([ci + 1, (hv[ci][0] << 4) | hv[ci][1], tsel[ci]])
+    # DHT: Annex K DC tables + the shared progressive AC table as (1,0)
+    hts = [((0, 0), _DC_LUMA)]
+    if nch == 3:
+        hts += [((0, 1), _DC_CHROMA)]
+    hts += [((1, 0), _AC_PROG)]
+    enc = {}
+    for (tc, th), (bits, values) in hts:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+        enc[(tc, th)] = _build_encode_table(bits, values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    al_dc = 1
+
+    def mcu_blocks(ci: int):
+        ch, cv = hv[ci]
+        for v in range(cv):
+            for hh in range(ch):
+                yield v, hh
+
+    # ---- scan 1: interleaved DC first (Ss=Se=0, Ah=0, Al=al_dc)
+    out += _sos_segment([(ci + 1, 0 if tsel[ci] == 0 else 1, 0)
+                         for ci in range(nch)], 0, 0, 0, al_dc)
+    wdc = _ProgScanWriter(out, enc[(1, 0)], restart_interval)
+    preds = [0] * nch
+    for my in range(mcuy):
+        for mx in range(mcux):
+            wdc.unit_boundary()
+            if wdc.ri and (wdc.units - 1) and \
+                    (wdc.units - 1) % wdc.ri == 0:
+                preds = [0] * nch      # RSTn resets DC predictions
+            for ci in range(nch):
+                ch, cv = hv[ci]
+                dcT = enc[(0, 0 if tsel[ci] == 0 else 1)]
+                for v, hh in mcu_blocks(ci):
+                    dc = int(grids[ci][my * cv + v, mx * ch + hh, 0]) >> al_dc
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    sz = _category(diff)
+                    code, ln = dcT[sz]
+                    wdc.bw.write(code, ln)
+                    if sz:
+                        wdc.bw.write(
+                            diff if diff >= 0 else diff + (1 << sz) - 1, sz)
+    wdc.finish()
+
+    # ---- AC scans: first (Al=1) then refinement (Al=0), two bands each
+    for ah, al in ((0, 1), (1, 0)):
+        for band in ((1, 5), (6, 63)):
+            for ci in range(nch):
+                bh_i, bw_i = real[ci]
+                out += _sos_segment([(ci + 1, 0, 0)], band[0], band[1],
+                                    ah, al)
+                wac = _ProgScanWriter(out, enc[(1, 0)], restart_interval)
+                for byi in range(bh_i):
+                    for bxi in range(bw_i):
+                        wac.unit_boundary()
+                        zz = grids[ci][byi, bxi]
+                        if ah == 0:
+                            _enc_ac_first_block(wac, zz, band[0], band[1], al)
+                        else:
+                            _enc_ac_refine_block(wac, zz, band[0], band[1],
+                                                 al)
+                wac.finish()
+
+    # ---- final scan: interleaved DC refinement to Al=0 (raw bits)
+    out += _sos_segment([(ci + 1, 0, 0) for ci in range(nch)], 0, 0, al_dc,
+                        0)
+    wdr = _ProgScanWriter(out, enc[(1, 0)], restart_interval)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            wdr.unit_boundary()
+            for ci in range(nch):
+                ch, cv = hv[ci]
+                for v, hh in mcu_blocks(ci):
+                    dc = int(grids[ci][my * cv + v, mx * ch + hh, 0])
+                    wdr.bw.write(dc & 1, 1)
+    wdr.finish()
+
     out += b"\xff\xd9"                                 # EOI
     return bytes(out)

@@ -241,11 +241,13 @@ def test_q43_image_formats_pin(spark):
     decoded pixels recomputed from the md5 keystream (exact for
     PPM/BMP/PNG, web-cube-quantized for GIF, via our own decoder for
     lossy JPEG)."""
-    from drain3_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from drain3_spark.pipeline.jpeg import (decode_jpeg, encode_jpeg,
+                                            encode_jpeg_progressive)
 
     rows = {r.fmt: r for r in
             entry.queries()["q43_image_formats"](spark, SF).collect()}
-    assert set(rows) == {"ppm", "bmp", "png", "jpeg", "gif", "tiff"}
+    assert set(rows) == {"ppm", "bmp", "png", "jpeg", "gif", "tiff",
+                         "jpeg-prog"}
     assert all(r.n == 40 and r.total_w == 40 * 16 and r.total_ch == 40 * 3
                for r in rows.values())
 
@@ -254,16 +256,21 @@ def test_q43_image_formats_pin(spark):
         return float(np.count_nonzero((luma >> 4) == 0)) / luma.size
 
     want = {f: 0.0 for f in rows}
-    for i in range(240):
+    for i in range(280):
         img = FX._md5_pixels(i, 16, 16)
-        f = ("ppm", "bmp", "png", "jpeg", "gif", "tiff")[i % 6]
+        f = ("ppm", "bmp", "png", "jpeg", "gif", "tiff",
+             "jpeg-prog")[i % 7]
         if f == "jpeg":
             img = decode_jpeg(encode_jpeg(img, quality=92))
+        elif f == "jpeg-prog":
+            img = decode_jpeg(encode_jpeg_progressive(img, quality=92))
         elif f == "gif":
             img = (np.round(img / 51.0) * 51).astype(np.uint8)
         want[f] += bin0(img)
     for f, r in rows.items():
-        assert abs(r.bin0_sum - round(want[f], 4)) <= 1e-9, f
+        # Spark F.round is HALF_UP; Python round is banker's
+        half_up = math.floor(want[f] * 1e4 + 0.5) / 1e4
+        assert abs(r.bin0_sum - half_up) <= 1e-9, f
 
 
 # --------------------------------------------------------------- q44
