@@ -626,6 +626,26 @@ def _q45_audio_pipeline(spark, sf):
     return scope.attach(out)
 
 
+def _q46_audio_fingerprint(spark, sf):
+    """Constellation-fingerprint retrieval (query-by-excerpt): a melody
+    corpus is fingerprinted into an inverted hash index; gain-scaled,
+    noise-perturbed, sometimes codec-flipped ~1 s excerpts plus
+    out-of-corpus negatives are matched by distinct-hash offset voting.
+    Rows-only (binary decode + FFT upstream); the planted truth (every
+    excerpt retrieves its base clip at the exact planted frame offset,
+    no negative matches) is pinned by test_q46_audio_fingerprint_pin."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_fp import (audio_fingerprints,
+                                                fingerprint_matches)
+    idx = audio_fingerprints(FX.gen_clips_melody(spark, 240))
+    qfp = audio_fingerprints(
+        FX.gen_fp_queries(spark, 240, every=10, n_negatives=8))
+    return (fingerprint_matches(qfp, idx)
+            .select("query_id", "match_id", "votes", "q_hashes",
+                    "vote_frac", "offset_frames")
+            .orderBy("query_id"))
+
+
 def _q43_image_formats(spark, sf):
     """The full native image-container matrix through ONE plumbing
     path: a corpus cycling PPM / BMP / PNG / baseline JPEG / GIF /
@@ -779,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_image_formats": _q43_image_formats,
         "q44_audio_dedup_groups": _q44_audio_dedup_groups,
         "q45_audio_pipeline": _q45_audio_pipeline,
+        "q46_audio_fingerprint": _q46_audio_fingerprint,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,

@@ -81,7 +81,8 @@ def main() -> None:
                 "q37_audio_spectral", "q38_neardup_auto", "q39_audio_neardup",
                 "q40_audio_mfcc", "q41_audio_resample",
                 "q42_audio_incremental", "q43_image_formats",
-                "q44_audio_dedup_groups", "q45_audio_pipeline"]
+                "q44_audio_dedup_groups", "q45_audio_pipeline",
+                "q46_audio_fingerprint"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

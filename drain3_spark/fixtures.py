@@ -436,6 +436,134 @@ def gen_clip_dups(spark: SparkSession, n: int, every: int = 10,
             .mapInPandas(synth, CLIPS_SCHEMA))
 
 
+def melody_meta(i: int, n_ds: int = 7, dur_lo: int = 2000,
+                dur_hi: int = 4000) -> Dict:
+    """Deterministic metadata for melody-corpus row ``i`` (ids
+    ``mel-%010d`` — a separate namespace from the tone corpora, so
+    fingerprint fixtures never collide with the near-dup ones)."""
+    clip_id = f"mel-{i:010d}"
+    h = int.from_bytes(hashlib.sha1(clip_id.encode()).digest()[:8], "big")
+    return {"i": i, "clip_id": clip_id, "h": h,
+            "ds": f"2026-08-{i % n_ds + 1:02d}",
+            "sr_hz": _pick(SR_WEIGHTS, SR_CHOICES, (h >> 16) % 100),
+            "dur_ms": dur_lo + ((h >> 8) % max(dur_hi - dur_lo, 1)),
+            "codec": _pick(CODEC_WEIGHTS, CODEC_CHOICES, (h >> 24) % 100)}
+
+
+def gen_clips_melody(spark: SparkSession, n: int, n_ds: int = 7,
+                     dur_lo: int = 2000, dur_hi: int = 4000,
+                     partitions: Optional[int] = None) -> DataFrame:
+    """Melody corpus for the fingerprinting family: each clip is a
+    deterministic note SEQUENCE (:func:`drain3_spark.audio.synth
+    .melody_pcm`) — time-frequency structure a constellation hash can
+    discriminate on, which the stationary-tone corpora lack."""
+    from drain3_spark.audio.synth import melody_pcm
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
+    kw = dict(n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CLIPS_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                m = melody_meta(int(i), **kw)
+                pcm = melody_pcm(m["clip_id"], m["sr_hz"], m["dur_ms"])
+                rows.append((m["clip_id"],
+                             bytearray(encode(pcm, m["codec"])),
+                             m["sr_hz"], m["dur_ms"], m["codec"], "",
+                             m["ds"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(synth,
+                                                              CLIPS_SCHEMA)
+
+
+def fp_query_meta(i: int, every: int = 10, snip_ms: int = 1000,
+                  frame_ms: int = 64, hop_ms: int = 32,
+                  n_ds: int = 7, dur_lo: int = 2000,
+                  dur_hi: int = 4000) -> Dict:
+    """Ground truth for excerpt query ``i``: which melody clip it was
+    cut from and at which STFT frame offset.  The excerpt start is
+    snapped to the base clip's hop grid, so query frame j covers
+    exactly the samples of base frame ``offset_frames + j`` and the
+    match offset is EXACT (closed form for the q46 pin)."""
+    base = melody_meta(i * every, n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi)
+    sr = base["sr_hz"]
+    frame = max(sr * frame_ms // 1000, 2)
+    hop = max(sr * hop_ms // 1000, 1)
+    n_base = max(sr * base["dur_ms"] // 1000, 1)
+    total_frames = max((n_base - frame) // hop + 1, 1)
+    snip_frames = max(snip_ms // hop_ms, 2)
+    f0 = (base["h"] >> 12) % max(total_frames - snip_frames, 1)
+    snip_n = min((snip_frames - 1) * hop + frame, n_base - f0 * hop)
+    codec = (_CODEC_FLIP[base["codec"]] if i % 3 == 0 else base["codec"])
+    return {**base, "base_clip_id": base["clip_id"],
+            "clip_id": f"qry-{i:010d}", "offset_frames": int(f0),
+            "start_sample": int(f0 * hop), "snip_n": int(snip_n),
+            "codec": codec,
+            "qry_dur_ms": int(round(snip_n * 1000.0 / sr))}
+
+
+def _synth_fp_query_row(m: Dict, gain: float = 0.85,
+                        noise_amp: float = 0.002) -> tuple:
+    from drain3_spark.audio.synth import melody_pcm
+    base = melody_pcm(m["base_clip_id"], m["sr_hz"], m["dur_ms"])
+    snip = base[m["start_sample"]:m["start_sample"] + m["snip_n"]]
+    rng = np.random.default_rng(m["h"] & 0xFFFFFFFF ^ 0xF19E1234)
+    pert = np.clip(gain * snip.astype(np.float64)
+                   + noise_amp * rng.uniform(-1.0, 1.0, len(snip)),
+                   -1.0, 1.0).astype(np.float32)
+    return (m["clip_id"], bytearray(encode(pert, m["codec"])), m["sr_hz"],
+            m["qry_dur_ms"], m["codec"], "", m["ds"])
+
+
+def gen_fp_queries(spark: SparkSession, n: int, every: int = 10,
+                   snip_ms: int = 1000, n_negatives: int = 10,
+                   n_ds: int = 7, dur_lo: int = 2000, dur_hi: int = 4000,
+                   partitions: Optional[int] = None) -> DataFrame:
+    """Excerpt queries against a ``gen_clips_melody(spark, n, ...)``
+    corpus: one gain-scaled, noise-perturbed, sometimes codec-flipped
+    ~``snip_ms`` cut of every ``every``-th melody (ids ``qry-%010d``,
+    truth in :func:`fp_query_meta`), plus ``n_negatives`` whole
+    melodies NOT in the corpus (ids ``fpneg-%010d``) that must match
+    nothing."""
+    from drain3_spark.audio.synth import melody_pcm
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
+    n_pos = (n + every - 1) // every
+    kw = dict(every=every, snip_ms=snip_ms, n_ds=n_ds,
+              dur_lo=dur_lo, dur_hi=dur_hi)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CLIPS_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                if i < n_pos:
+                    rows.append(_synth_fp_query_row(fp_query_meta(i, **kw)))
+                else:
+                    j = i - n_pos
+                    cid = f"fpneg-{j:010d}"
+                    h = int.from_bytes(
+                        hashlib.sha1(cid.encode()).digest()[:8], "big")
+                    sr = _pick(SR_WEIGHTS, SR_CHOICES, (h >> 16) % 100)
+                    dur = 1000 + ((h >> 8) % 1000)
+                    codec = _pick(CODEC_WEIGHTS, CODEC_CHOICES,
+                                  (h >> 24) % 100)
+                    pcm = melody_pcm(cid, sr, dur)
+                    rows.append((cid, bytearray(encode(pcm, codec)), sr,
+                                 dur, codec, "", f"2026-08-{j % n_ds + 1:02d}"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    total = n_pos + n_negatives
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return (spark.range(0, total, numPartitions=min(parts, max(total, 1)))
+            .mapInPandas(synth, CLIPS_SCHEMA))
+
+
 def _md5_pixels(i: int, width: int, height: int) -> np.ndarray:
     """The md5-keystream pixel block shared by every image fixture."""
     npx = width * height * 3

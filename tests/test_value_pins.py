@@ -343,3 +343,88 @@ def test_q45_audio_pipeline_pin(spark):
     assert abs(row.avg_gain_db - round(np.mean(gains), 3)) <= 2e-3
     # denoise must not move the tone: dominant freq tracks synthesis
     assert abs(row.avg_dominant_hz - np.mean(freqs)) <= 5.0
+
+
+# --------------------------------------------------------------- q46
+
+def test_q46_audio_fingerprint_pin(spark):
+    """Graded fingerprint retrieval == a full independent local replay:
+    fingerprints from the shared kernel, then the df_cap / distinct-
+    offset-vote / best-per-query relational half recomputed in plain
+    Python over the same deterministic fixture — every output cell
+    (match, votes, q_hashes, vote_frac, offset) must agree, and the
+    planted truth (base clip at planted offset, no negative rows)
+    must hold."""
+    from collections import defaultdict
+
+    from drain3_spark.audio.codecs import decode, encode
+    from drain3_spark.audio.synth import melody_pcm
+    from drain3_spark.pipeline.audio_fp import fingerprint_kernel
+
+    got = entry.queries()["q46_audio_fingerprint"](spark, SF).collect()
+
+    # ---- local replay ------------------------------------------------
+    def fps_of(payload, sr, codec):
+        pcm = decode(bytes(payload), codec).astype(np.float64)
+        return fingerprint_kernel(pcm, sr)
+
+    index_rows = []                       # (cid, hash, t)
+    for i in range(240):
+        m = FX.melody_meta(i)
+        raw = melody_pcm(m["clip_id"], m["sr_hz"], m["dur_ms"])
+        h, t = fps_of(encode(raw, m["codec"]), m["sr_hz"], m["codec"])
+        index_rows += [(m["clip_id"], int(a), int(b)) for a, b in zip(h, t)]
+    q_rows = []
+    for i in range(24):
+        qm = FX.fp_query_meta(i, every=10)
+        row = FX._synth_fp_query_row(qm)
+        h, t = fps_of(row[1], qm["sr_hz"], qm["codec"])
+        q_rows += [(qm["clip_id"], int(a), int(b)) for a, b in zip(h, t)]
+    for j in range(8):
+        cid = f"fpneg-{j:010d}"
+        hsh = int.from_bytes(hashlib.sha1(cid.encode()).digest()[:8], "big")
+        sr = FX._pick(FX.SR_WEIGHTS, FX.SR_CHOICES, (hsh >> 16) % 100)
+        dur = 1000 + ((hsh >> 8) % 1000)
+        codec = FX._pick(FX.CODEC_WEIGHTS, FX.CODEC_CHOICES,
+                         (hsh >> 24) % 100)
+        h, t = fps_of(encode(melody_pcm(cid, sr, dur), codec), sr, codec)
+        q_rows += [(cid, int(a), int(b)) for a, b in zip(h, t)]
+
+    df = defaultdict(int)
+    for _, h, _t in index_rows:
+        df[h] += 1
+    hot = {h for h, n in df.items() if n > 64}
+    inv = defaultdict(list)               # hash -> [(cid, t)]
+    for cid, h, t in index_rows:
+        if h not in hot:
+            inv[h].append((cid, t))
+    votes = defaultdict(set)              # (qid, cid, off) -> {hash}
+    q_hashes = defaultdict(set)
+    for qid, h, tq in q_rows:
+        if h in hot:
+            continue
+        q_hashes[qid].add(h)
+        for cid, ti in inv.get(h, ()):
+            votes[(qid, cid, ti - tq)].add(h)
+    best = {}
+    for (qid, cid, off), hs in votes.items():
+        key = (len(hs), cid, off)
+        if qid not in best or key > best[qid][0]:
+            best[qid] = (key, cid, off, len(hs))
+    want = {}
+    for qid, (_, cid, off, v) in best.items():
+        qn = len(q_hashes[qid])
+        frac = round(v / qn, 4)
+        if v >= 10 and frac >= 0.7:
+            want[qid] = (cid, v, qn, frac, off)
+
+    # ---- agreement + planted truth ----------------------------------
+    got_map = {r.query_id: (r.match_id, r.votes, r.q_hashes,
+                            float(r.vote_frac), r.offset_frames)
+               for r in got}
+    assert got_map == want
+    assert set(got_map) == {f"qry-{i:010d}" for i in range(24)}
+    for i in range(24):
+        qm = FX.fp_query_meta(i, every=10)
+        m = got_map[qm["clip_id"]]
+        assert m[0] == qm["base_clip_id"] and m[4] == qm["offset_frames"]
