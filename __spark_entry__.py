@@ -646,6 +646,30 @@ def _q46_audio_fingerprint(spark, sf):
             .orderBy("query_id"))
 
 
+def _q47_audio_quality(spark, sf):
+    """Per-ds audio quality stratification over the DIRTY corpus:
+    composite quality score (level + SNR-estimate + flatness + silence
+    + clipping penalties) per unique clip, aggregated per partition —
+    the curation signal a 100-TB ingest uses to drop or downweight
+    low-quality audio.  Rows-only (binary decode); aggregates are
+    pinned by an independent local replay (test_q47_audio_quality_pin;
+    corrupt-payload clips score < 0.7, everything else >= 0.7)."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_quality import audio_quality
+    clips = FX.gen_clips(spark, 500, dirty=True)
+    q = audio_quality(clips).dropDuplicates(["clip_id"])
+    ds_map = clips.select("clip_id", "ds").dropDuplicates(["clip_id"])
+    return (q.join(ds_map, "clip_id")
+            .groupBy("ds")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("quality_score"), 6).alias("avg_score"),
+                 F.sum((F.col("quality_score") < 0.7).cast("int"))
+                 .alias("n_low"),
+                 F.round(F.avg("flatness"), 6).alias("avg_flatness"),
+                 F.round(F.avg("rms_dbfs"), 4).alias("avg_rms_dbfs"))
+            .orderBy("ds"))
+
+
 def _q43_image_formats(spark, sf):
     """The full native image-container matrix through ONE plumbing
     path: a corpus cycling PPM / BMP / PNG / baseline JPEG / GIF /
@@ -800,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_audio_dedup_groups": _q44_audio_dedup_groups,
         "q45_audio_pipeline": _q45_audio_pipeline,
         "q46_audio_fingerprint": _q46_audio_fingerprint,
+        "q47_audio_quality": _q47_audio_quality,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,

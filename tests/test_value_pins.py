@@ -428,3 +428,47 @@ def test_q46_audio_fingerprint_pin(spark):
         qm = FX.fp_query_meta(i, every=10)
         m = got_map[qm["clip_id"]]
         assert m[0] == qm["base_clip_id"] and m[4] == qm["offset_frames"]
+
+
+# --------------------------------------------------------------- q47
+
+def test_q47_audio_quality_pin(spark):
+    """Per-ds quality aggregates == an independent local replay of
+    every unique clip through the shared kernel, and the n_low column
+    counts exactly the planted corrupt-bytes clips."""
+    from collections import defaultdict
+
+    from drain3_spark.audio.codecs import decode
+    from drain3_spark.pipeline.audio_quality import quality_kernel
+
+    got = {r.ds: r for r in
+           entry.queries()["q47_audio_quality"](spark, SF).collect()}
+
+    per_ds = defaultdict(list)
+    corrupt_per_ds = defaultdict(int)
+    seen = set()
+    for i in range(500):
+        m = FX.row_meta(i, dirty=True)
+        if m["clip_id"] in seen:
+            continue
+        seen.add(m["clip_id"])
+        row = FX._synth_row(m)[0]
+        pcm = decode(bytes(row[1]), m["codec"]).astype(np.float64)
+        q = quality_kernel(pcm, row[2])
+        per_ds[m["ds"]].append(q)
+        if m["defect"] == "corrupt_bytes":
+            corrupt_per_ds[m["ds"]] += 1
+
+    assert set(got) == set(per_ds)
+    for ds, qs in per_ds.items():
+        r = got[ds]
+        assert r.n == len(qs)
+        # avgs: Spark's partial-aggregate summation order differs from
+        # numpy's, so compare at the rounding's own resolution
+        assert abs(r.avg_score
+                   - float(np.mean([q[6] for q in qs]))) <= 1e-6
+        assert r.n_low == sum(q[6] < 0.7 for q in qs) == corrupt_per_ds[ds]
+        assert abs(r.avg_flatness
+                   - float(np.mean([q[5] for q in qs]))) <= 1e-6
+        assert abs(r.avg_rms_dbfs
+                   - float(np.mean([q[1] for q in qs]))) <= 1e-4
