@@ -673,19 +673,19 @@ def _q47_audio_quality(spark, sf):
 def _q43_image_formats(spark, sf):
     """The full native image-container matrix through ONE plumbing
     path: a corpus cycling PPM / BMP / PNG / baseline JPEG / GIF /
-    TIFF / progressive JPEG (SOF2) — same md5-keystream pixels —
-    decoded by the dispatching decoder, grouped
+    TIFF / progressive JPEG (SOF2) / lossless WebP (VP8L) — same
+    md5-keystream pixels — decoded by the dispatching decoder, grouped
     by container.  Rows-only (binary decode); per-container counts and
     histogram sums are pinned in closed form / by local replay by
     test_q43_image_formats_pin."""
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.multimodal import image_features
-    items = FX.gen_images_all_formats(spark, 280, width=16, height=16)
+    items = FX.gen_images_all_formats(spark, 320, width=16, height=16)
     feats = image_features(items)
     fmt = F.element_at(
         F.array(*[F.lit(x) for x in ("ppm", "bmp", "png", "jpeg", "gif",
-                                     "tiff", "jpeg-prog")]),
-        (F.substring("item_id", 5, 8).cast("int") % 7) + 1)
+                                     "tiff", "jpeg-prog", "webp")]),
+        (F.substring("item_id", 5, 8).cast("int") % 8) + 1)
     return (feats.select(fmt.alias("fmt"), "width", "height", "channels",
                          F.element_at("histogram", 1).alias("bin0"))
             .groupBy("fmt")

@@ -581,7 +581,8 @@ def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
     """Image corpus cycling through EVERY native container — PPM, BMP,
     PNG, JPEG (lossy baseline), GIF (palette-quantized to the 216-color
     web cube), TIFF (PackBits), progressive JPEG (SOF2, same
-    quantization ladder as baseline) — same md5-keystream pixels as
+    quantization ladder as baseline), WebP (lossless VP8L:
+    subtract-green + LZ77 + color cache) — same md5-keystream pixels as
     :func:`gen_images`, so each row's decoded output is checkable
     against the regenerated source (exactly for the lossless
     containers, to PSNR for JPEG, to the web-cube quantization for
@@ -595,6 +596,7 @@ def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
                                                 encode_jpeg_progressive)
         from drain3_spark.pipeline.multimodal import (encode_gif, encode_png,
                                                       encode_tiff)
+        from drain3_spark.pipeline.webp import encode_webp_lossless
         cube = np.array([(r, g, b) for r in range(0, 256, 51)
                          for g in range(0, 256, 51)
                          for b in range(0, 256, 51)], np.uint8)
@@ -603,7 +605,7 @@ def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
             for i in b["id"]:
                 i = int(i)
                 img = _md5_pixels(i, width, height)
-                f = i % 7
+                f = i % 8
                 if f == 0:
                     fmt, payload = "ppm", (b"P6\n%d %d\n255\n"
                                            % (width, height) + img.tobytes())
@@ -630,9 +632,11 @@ def gen_images_all_formats(spark: SparkSession, n: int, width: int = 16,
                     fmt, payload = "gif", encode_gif(idx, cube)
                 elif f == 5:
                     fmt, payload = "tiff", encode_tiff(img, packbits=True)
-                else:
+                elif f == 6:
                     fmt, payload = "jpeg-prog", encode_jpeg_progressive(
                         img, quality=92)
+                else:
+                    fmt, payload = "webp", encode_webp_lossless(img)
                 rows.append((f"img-{i:08d}", fmt, bytearray(payload)))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA])
 

@@ -706,10 +706,11 @@ def decode_image(payload: bytes) -> np.ndarray:
        re-raised CHAINED as ``ValueError`` — it must not masquerade as
        "Pillow missing" when the library is present;
     3. ``NotImplementedError`` only when Pillow is genuinely absent:
-       the remaining formats (WebP, JPEG 2000, AVIF, ...) need a codec
-       library this container does not ship — a declared stub, same
-       mapInPandas shape either way.  (GIF and TIFF are decoded
-       natively by the dispatch above, not via this fallback.)
+       the remaining formats (lossy WebP/VP8, JPEG 2000, AVIF, ...)
+       need a codec library this container does not ship — a declared
+       stub, same mapInPandas shape either way.  (GIF, TIFF, and
+       lossless WebP/VP8L are decoded natively by the dispatch above,
+       not via this fallback.)
     """
     raw = bytes(payload)
     if raw[:2] in (b"P5", b"P6"):
@@ -725,6 +726,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_gif(raw)
     if raw[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(raw)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        from drain3_spark.pipeline.webp import decode_webp
+        return decode_webp(raw)       # VP8L lossless native; VP8 lossy
+        #                               raises its own declared stub
     try:
         from PIL import Image  # optional dependency, absent here
     except ImportError:

@@ -247,7 +247,7 @@ def test_q43_image_formats_pin(spark):
     rows = {r.fmt: r for r in
             entry.queries()["q43_image_formats"](spark, SF).collect()}
     assert set(rows) == {"ppm", "bmp", "png", "jpeg", "gif", "tiff",
-                         "jpeg-prog"}
+                         "jpeg-prog", "webp"}
     assert all(r.n == 40 and r.total_w == 40 * 16 and r.total_ch == 40 * 3
                for r in rows.values())
 
@@ -256,16 +256,17 @@ def test_q43_image_formats_pin(spark):
         return float(np.count_nonzero((luma >> 4) == 0)) / luma.size
 
     want = {f: 0.0 for f in rows}
-    for i in range(280):
+    for i in range(320):
         img = FX._md5_pixels(i, 16, 16)
         f = ("ppm", "bmp", "png", "jpeg", "gif", "tiff",
-             "jpeg-prog")[i % 7]
+             "jpeg-prog", "webp")[i % 8]
         if f == "jpeg":
             img = decode_jpeg(encode_jpeg(img, quality=92))
         elif f == "jpeg-prog":
             img = decode_jpeg(encode_jpeg_progressive(img, quality=92))
         elif f == "gif":
             img = (np.round(img / 51.0) * 51).astype(np.uint8)
+        # webp is lossless: replay uses the source pixels directly
         want[f] += bin0(img)
     for f, r in rows.items():
         # Spark F.round is HALF_UP; Python round is banker's
