@@ -45,7 +45,7 @@ mirrors drain3's miner/matcher split (drain3/template_miner.py:96 vs
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -214,6 +214,24 @@ def audio_fingerprints(clips: DataFrame, frame_ms: int = FRAME_MS,
 
     return (clips.select("clip_id", "bytes", "sr_hz", "codec")
             .mapInPandas(extract, FINGERPRINT_SCHEMA))
+
+
+def update_fingerprint_index(index_fps: DataFrame, new_fps: DataFrame,
+                             keeper_ids: Optional["DataFrame"] = None
+                             ) -> DataFrame:
+    """Maintain the persisted fingerprint index across ingest batches:
+    append the new batch's fingerprint rows so batch N+1's provenance
+    queries see batch N without re-decoding anything — the same
+    maintenance contract as the text band index
+    (``dedup.update_band_index``) and the audio embedding index
+    (``audio_sim.update_audio_index``).  ``keeper_ids`` (one-column
+    ``clip_id``) restricts the append to clips that SURVIVED dedup —
+    a rejected duplicate's fingerprints must not enter the index or
+    they would keep matching future excerpts of themselves."""
+    if keeper_ids is not None:
+        new_fps = new_fps.join(
+            F.broadcast(keeper_ids.select("clip_id").distinct()), "clip_id")
+    return index_fps.unionByName(new_fps)
 
 
 def fingerprint_matches(query_fps: DataFrame, index_fps: DataFrame,

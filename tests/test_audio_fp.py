@@ -118,3 +118,29 @@ def test_fingerprint_undecodable_payload_yields_no_rows(spark):
             "clip_id string, bytes binary, sr_hz int, dur_ms int, "
             "codec string, transcript string, ds string"))
     assert audio_fingerprints(clips).count() == 0
+
+
+def test_update_fingerprint_index_two_batches_equal_one_shot(spark):
+    """Index maintained across two ingest batches answers a query
+    exactly like a one-shot index over the union; a clip excluded via
+    keeper_ids stops matching."""
+    from drain3_spark.pipeline.audio_fp import update_fingerprint_index
+
+    b1 = FX.gen_clips_melody(spark, 40)
+    b2 = FX.gen_clips_melody(spark, 80).filter(
+        "clip_id >= 'mel-0000000040'")
+    fp1, fp2 = audio_fingerprints(b1), audio_fingerprints(b2)
+    oneshot = audio_fingerprints(FX.gen_clips_melody(spark, 80))
+    merged = update_fingerprint_index(fp1, fp2)
+    q = audio_fingerprints(FX.gen_fp_queries(spark, 80, every=10,
+                                             n_negatives=0))
+    a = sorted(tuple(r) for r in fingerprint_matches(q, merged).collect())
+    b = sorted(tuple(r) for r in fingerprint_matches(q, oneshot).collect())
+    assert a == b and len(a) == 8
+
+    # reject mel-50 (base of qry-5): its fingerprints must not enter
+    keep = b2.select("clip_id").filter("clip_id != 'mel-0000000050'")
+    merged2 = update_fingerprint_index(fp1, fp2, keeper_ids=keep)
+    got = {r.query_id for r in fingerprint_matches(q, merged2).collect()
+           if r.match_id == "mel-0000000050"}
+    assert got == set()
