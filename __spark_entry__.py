@@ -715,16 +715,26 @@ def _q31_image_features(spark, sf):
 
 
 def _q32_video_frames(spark, sf):
-    """Raw Y4M frame sampling (pure-numpy 4:2:0 decode + BT.601 YUV->RGB)
-    over a deterministic synthetic video corpus (rows-only: binary video
-    decode has no SQL oracle; pinned by test_video_frame_sampling_y4m)."""
+    """Video frame sampling over BOTH native containers — raw Y4M
+    (pure-numpy 4:2:0 decode + BT.601 YUV->RGB) and compressed
+    Motion-JPEG AVI (container walk + our own baseline JPEG decoder) —
+    through the one dispatching operator, grouped by container.
+    Rows-only (binary video decode has no SQL oracle; pinned by
+    test_q32_video_aggregates_pin + test_video_frame_sampling_y4m)."""
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.multimodal import sample_video_frames
-    vids = FX.gen_videos(spark, 50)
+    vids = FX.gen_videos_all_formats(spark, 50)
     frames = sample_video_frames(vids, every_nth=2)
-    return frames.agg(F.count(F.lit(1)).alias("n_frames_kept"),
-                      F.countDistinct("item_id").alias("n_videos"),
-                      F.sum(F.length("pixels")).alias("rgb_bytes"))
+    # fmt is a pure function of the id parity (fixture contract) — no
+    # join back to the corpus, so the synth+decode pass runs once
+    fmt = F.when(F.substring("item_id", 5, 8).cast("int") % 2 == 0,
+                 F.lit("y4m")).otherwise(F.lit("mjpeg-avi"))
+    return (frames.select(fmt.alias("fmt"), "item_id", "pixels")
+            .groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_frames_kept"),
+                 F.countDistinct("item_id").alias("n_videos"),
+                 F.sum(F.length("pixels")).alias("rgb_bytes"))
+            .orderBy("fmt"))
 
 
 def _q33_streaming_mining(spark, sf):

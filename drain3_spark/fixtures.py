@@ -339,6 +339,73 @@ def gen_videos(spark: SparkSession, n: int, width: int = 16, height: int = 12,
         synth, VIDEOS_SCHEMA)
 
 
+VIDEOS_FMT_SCHEMA = T.StructType([
+    T.StructField("item_id", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def _mjpeg_frame(i: int, k: int, width: int, height: int) -> np.ndarray:
+    """md5-keystream RGB frame for mjpeg video ``i``, frame ``k`` —
+    regenerable by pins exactly like the image fixtures."""
+    npx = width * height * 3
+    stream = b""
+    j = 0
+    while len(stream) < npx:
+        stream += hashlib.md5(f"vidm-{i}-{k}-{j}".encode()).digest()
+        j += 1
+    return np.frombuffer(stream[:npx], np.uint8).reshape(height, width, 3)
+
+
+def gen_videos_all_formats(spark: SparkSession, n: int, width: int = 16,
+                           height: int = 12, n_frames: int = 8,
+                           partitions: Optional[int] = None) -> DataFrame:
+    """Video corpus cycling the native containers — raw Y4M 4:2:0
+    (even ids, same gradient frames as :func:`gen_videos`) and
+    COMPRESSED Motion-JPEG AVI (odd ids, md5-keystream frames through
+    our own JPEG encoder)."""
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.pipeline.multimodal import encode_avi_mjpeg
+        ysz = width * height
+        csz = (width // 2) * ((height + 1) // 2)
+        for b in batches:
+            rows: List[tuple] = []
+            for i in b["id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    seed = int.from_bytes(
+                        hashlib.md5(f"vid-{i}".encode()).digest()[:4], "big")
+                    parts = [b"YUV4MPEG2 W%d H%d F25:1 Ip A0:0 C420jpeg\n"
+                             % (width, height)]
+                    for k in range(n_frames):
+                        y = ((np.arange(ysz, dtype=np.int64) * 7 + seed
+                              + 11 * k) % 256).astype(np.uint8)
+                        u = ((np.arange(csz, dtype=np.int64) * 3 + seed // 2
+                              + 5 * k) % 256).astype(np.uint8)
+                        v = ((np.arange(csz, dtype=np.int64) * 5 + seed // 3
+                              + 3 * k) % 256).astype(np.uint8)
+                        parts.append(b"FRAME\n" + y.tobytes() + u.tobytes()
+                                     + v.tobytes())
+                    rows.append((f"vid-{i:08d}", "y4m", n_frames,
+                                 b"".join(parts)))
+                else:
+                    frames = [_mjpeg_frame(i, k, width, height)
+                              for k in range(n_frames)]
+                    rows.append((f"vid-{i:08d}", "mjpeg-avi", n_frames,
+                                 bytearray(encode_avi_mjpeg(frames))))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in VIDEOS_FMT_SCHEMA])
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(
+        synth, VIDEOS_FMT_SCHEMA)
+
+
 def gen_transcripts_ref(spark: SparkSession, n: int, dirty: bool = False,
                         n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
                         partitions: Optional[int] = None) -> DataFrame:

@@ -521,6 +521,41 @@ def test_video_frame_sampling_y4m(spark):
         list(multimodal.decode_y4m_frames(b"\x00\x00\x01\xba mpeg-ps"))
 
 
+def test_video_frame_sampling_mjpeg_avi(spark):
+    """Motion-JPEG AVI decodes natively end-to-end: container walk,
+    per-frame JPEG decode pixel-identical to a direct decode of the
+    same encoder's output, stride through the Spark path, and the
+    fixture corpus's frames regenerable by id."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(31)
+    frames = [rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+              for _ in range(5)]
+    payload = multimodal.encode_avi_mjpeg(frames, fps=10)
+    decoded = list(multimodal.decode_avi_mjpeg_frames(payload))
+    assert [i for i, _ in decoded] == list(range(5))
+    for (_, got), src in zip(decoded, frames):
+        assert np.array_equal(got, decode_jpeg(encode_jpeg(src,
+                                                           quality=92)))
+
+    items = spark.createDataFrame([("vidm", bytearray(payload))],
+                                  "item_id string, payload binary")
+    rows = multimodal.sample_video_frames(items, every_nth=2).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
+    assert all((r.width, r.height) == (16, 12) for r in rows)
+
+    # fixture contract: odd ids are mjpeg-avi with md5-keystream frames
+    vids = {r.item_id: r for r in
+            FX.gen_videos_all_formats(spark, 4).collect()}
+    assert vids["vid-00000001"].fmt == "mjpeg-avi"
+    got = dict(multimodal.decode_avi_mjpeg_frames(
+        bytes(vids["vid-00000001"].payload)))
+    want = decode_jpeg(encode_jpeg(FX._mjpeg_frame(1, 0, 16, 12),
+                                   quality=92))
+    assert np.array_equal(got[0], want)
+
+
 def test_connected_components_string_ids(spark):
     """String id columns (clip_id-style corpora) work natively — ids are
     never cast; group_id is the lexicographically smallest member."""

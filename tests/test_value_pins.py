@@ -109,11 +109,15 @@ def test_q31_image_aggregates_pin(spark):
 # --------------------------------------------------------------- q32
 
 def test_q32_video_aggregates_pin(spark):
-    row = entry.queries()["q32_video_frames"](spark, SF).collect()[0]
-    # every_nth=2 over 8 frames keeps frames {0,2,4,6} of all 50 videos
-    assert row.n_frames_kept == 50 * 4
-    assert row.n_videos == 50
-    assert row.rgb_bytes == 50 * 4 * 16 * 12 * 3
+    rows = {r.fmt: r for r in
+            entry.queries()["q32_video_frames"](spark, SF).collect()}
+    # every_nth=2 over 8 frames keeps frames {0,2,4,6}; 25 videos per
+    # container (even ids y4m, odd ids mjpeg-avi)
+    assert set(rows) == {"y4m", "mjpeg-avi"}
+    for r in rows.values():
+        assert r.n_frames_kept == 25 * 4
+        assert r.n_videos == 25
+        assert r.rgb_bytes == 25 * 4 * 16 * 12 * 3
 
 
 # --------------------------------------------------------------- q37
