@@ -467,9 +467,13 @@ def test_image_decode_real_formats(spark):
     # decode error
     with pytest.raises(ValueError):
         multimodal.decode_image(b"GIF89a" + b"\x00" * 7 + b"\x3b")
-    # formats without a library-free decoder (WebP) stay declared stubs
-    with pytest.raises(NotImplementedError):
+    # WebP lossless is a real decoder now: an empty container is a
+    # decode error; only the LOSSY VP8 path stays a declared stub
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(
+            b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00junk")
 
 
 def _encode_y4m(frames_rgb):
