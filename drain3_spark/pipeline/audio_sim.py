@@ -391,17 +391,18 @@ def audio_near_dup_pairs(clips: DataFrame, threshold: float = 0.999,
     ``xxhash64`` longs, collision probability ~n²/2⁶⁴).  Gain-adjusted,
     re-encoded, noise-perturbed, and RESAMPLED copies of a clip are all
     found (embedding invariances, module docstring)."""
-    # the decode+FFT embedding pass feeds BOTH sides of the candidate
-    # self-join (and the id-resolution joins on the BLAS path) —
-    # Catalyst does not reuse exchanges across DAG branches, so share
-    # it once instead of re-decoding the corpus per branch
+    # the decode+FFT embedding pass AND the bucket-assignment UDF feed
+    # BOTH sides of the candidate self-join (and the id-resolution
+    # joins on the BLAS path) — Catalyst does not reuse exchanges
+    # across DAG branches, so persist at the ASSIGNED boundary: one
+    # decode pass and one LSH pass total, instead of one decode (via
+    # an embedding-level persist) but two bucket-UDF executions
     from drain3_spark.pipeline.dedup import _SharedScope
     scope = _SharedScope()
-    emb = scope.share(
-        audio_embeddings(clips, n_mels, frame_ms, hop_ms, f_lo, f_hi)
-        .filter(F.col("embedding").isNotNull()))
-    assigned = _assigned_buckets(emb, blocking, lsh_bits, lsh_bands,
-                                 lsh_seed)
+    emb = (audio_embeddings(clips, n_mels, frame_ms, hop_ms, f_lo, f_hi)
+           .filter(F.col("embedding").isNotNull()))
+    assigned = scope.share(
+        _assigned_buckets(emb, blocking, lsh_bits, lsh_bands, lsh_seed))
 
     if method == "blas":
         from drain3_spark.pipeline.similarity import _blas_pairs_by_block
