@@ -670,6 +670,40 @@ def _q47_audio_quality(spark, sf):
             .orderBy("ds"))
 
 
+def _q48_audio_codec_matrix(spark, sf):
+    """The full audio codec/container matrix through ONE decode path:
+    raw sample streams (pcm16 / f32 / mulaw / alaw) and self-describing
+    RIFF/WAVE containers (PCM16 / float / mulaw / alaw / IMA ADPCM
+    inner formats — own container walk + block-vectorized ADPCM
+    decoder), the same reference signal per clip, validated by the
+    codec-aware SNR gate AND the container-metadata consistency check
+    (planted container-sr lies every 17th wav row must be flagged;
+    nothing else may).  Rows-only (binary decode); per-codec counts,
+    SNR pass rates, and the mismatch tally are pinned by local replay
+    in test_q48_audio_codec_matrix_pin."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.validation.audio import (audio_decode_results,
+                                               container_metadata_results)
+    clips = FX.gen_clips_wav(spark, 400)
+    dec = audio_decode_results(clips, dur_bounds=(100, 5000))
+    codec_map = clips.select("clip_id", "codec")
+    snr = (dec.join(codec_map, "clip_id")
+           .groupBy("codec")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("passed").cast("int")).alias("n_snr_ok"),
+                F.round(F.min(F.when(~F.isnan("snr_db")
+                                     & (F.col("snr_db") != float("inf")),
+                                     F.col("snr_db"))), 2).alias("min_snr")))
+    meta = (container_metadata_results(clips)
+            .join(codec_map, "clip_id")
+            .groupBy("codec")
+            .agg(F.sum((~F.col("sr_ok")).cast("int")).alias("n_sr_bad"),
+                 F.sum((~F.col("dur_ok")).cast("int")).alias("n_dur_bad")))
+    return (snr.join(meta, "codec", "left")
+            .fillna(0, ["n_sr_bad", "n_dur_bad"])
+            .orderBy("codec"))
+
+
 def _q43_image_formats(spark, sf):
     """The full native image-container matrix through ONE plumbing
     path: a corpus cycling PPM / BMP / PNG / baseline JPEG / GIF /
@@ -835,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_audio_pipeline": _q45_audio_pipeline,
         "q46_audio_fingerprint": _q46_audio_fingerprint,
         "q47_audio_quality": _q47_audio_quality,
+        "q48_audio_codec_matrix": _q48_audio_codec_matrix,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,

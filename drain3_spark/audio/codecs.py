@@ -23,12 +23,23 @@ A_LAW = 87.6
 
 CODECS = ("pcm_s16le", "pcm_f32le", "mulaw", "alaw")
 
+# container codecs: the payload is a self-describing RIFF/WAVE file
+# (inner format after the colon; bare "wav" means pcm_s16le).  The
+# container carries its OWN sample rate — wav.decode_wav returns it so
+# validation can cross-check it against the table's sr_hz column.
+WAV_CODECS = ("wav", "wav:pcm_s16le", "wav:pcm_f32le", "wav:mulaw",
+              "wav:alaw", "wav:adpcm_ima")
+
 
 def _clip(x: np.ndarray) -> np.ndarray:
     return np.clip(x, -1.0, 1.0)
 
 
-def encode(pcm: np.ndarray, codec: str) -> bytes:
+def encode(pcm: np.ndarray, codec: str, sr_hz: int = 16000) -> bytes:
+    if codec.startswith("wav"):
+        from drain3_spark.audio.wav import encode_wav
+        inner = codec.split(":", 1)[1] if ":" in codec else "pcm_s16le"
+        return encode_wav(np.asarray(pcm, dtype=np.float32), sr_hz, inner)
     x = _clip(np.asarray(pcm, dtype=np.float32))
     if codec == "pcm_s16le":
         return (np.round(x * 32767.0).astype("<i2")).tobytes()
@@ -73,6 +84,9 @@ _ALAW_LUT = _expand_table("alaw")
 
 
 def decode(payload: bytes, codec: str) -> np.ndarray:
+    if codec.startswith("wav"):
+        from drain3_spark.audio.wav import decode_wav
+        return decode_wav(payload)[0]
     if codec == "pcm_s16le":
         return np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32767.0
     if codec == "pcm_f32le":

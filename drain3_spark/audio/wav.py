@@ -1,0 +1,287 @@
+"""RIFF/WAVE container + IMA ADPCM codec, library-free.
+
+Real audio corpora rarely arrive as raw sample streams: they are WAV
+files whose ``fmt `` chunk names the codec and sample rate.  This
+module gives the engine the same container realism the image matrix
+has (PNG/JPEG/GIF/TIFF/WebP containers over one decode path):
+
+* :func:`decode_wav` walks the RIFF chunk list and dispatches on
+  ``wFormatTag`` — PCM16 (1), IEEE float32 (3), A-law (6), mu-law (7),
+  and IMA ADPCM (0x11) — returning ``(pcm_float32, sr_hz)``.  The
+  container's own sample rate rides back to the caller so validation
+  can cross-check it against the table's ``sr_hz`` column
+  (a metadata-consistency check raw codecs cannot express).
+* :func:`encode_wav` writes all five variants, so every decode branch
+  round-trips against our own encoder in tests.
+
+IMA ADPCM (the 4-bit adaptive-differential telephony codec of the
+IMA/DVI standard and Microsoft's WAVE format 0x11) is block-structured:
+each ``block_align``-byte block opens with its own (predictor, step
+index) header and is therefore decodable INDEPENDENTLY of its
+neighbors.  The decoders below exploit that: nibbles are unpacked
+vectorized, and the inherently sequential step-adaptation loop runs
+over the ~2·(block_align-4) samples WITHIN a block while operating
+elementwise across ALL blocks of the clip at once — per-clip decode
+cost is O(samples_per_block) numpy steps regardless of clip length.
+At 100-TB scale the parallel axis is clips (one Arrow batch decodes
+many clips), and within a clip the block axis; neither needs
+per-sample Python over the whole stream.
+
+No code is derived from the reference repo (it has no media handling);
+the algorithm follows the public IMA ADPCM specification tables.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Tuple
+
+import numpy as np
+
+# public IMA ADPCM tables (IMA Digital Audio Focus and Technical
+# Working Groups recommendation; identical in every implementation)
+_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767], dtype=np.int32)
+_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+WAV_FORMAT_TAGS = {1: "pcm_s16le", 3: "pcm_f32le", 6: "alaw",
+                   7: "mulaw", 0x11: "adpcm_ima"}
+_TAG_OF = {v: k for k, v in WAV_FORMAT_TAGS.items()}
+
+DEFAULT_BLOCK_ALIGN = 256  # mono ADPCM: 505 samples per 256-byte block
+
+
+def _adpcm_samples_per_block(block_align: int) -> int:
+    return (block_align - 4) * 2 + 1
+
+
+def adpcm_decode_blocks(data: bytes, block_align: int,
+                        n_samples: int) -> np.ndarray:
+    """Decode mono IMA ADPCM block data to float32 PCM in [-1, 1].
+
+    Vectorized across blocks: the (pred, index) state vectors have one
+    element per block, and the step loop runs ``samples_per_block - 1``
+    iterations total — not ``n_samples``."""
+    ba = int(block_align)
+    spb = _adpcm_samples_per_block(ba)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    n_blocks = len(raw) // ba
+    if n_blocks == 0:
+        return np.zeros(0, dtype=np.float32)
+    B = raw[:n_blocks * ba].reshape(n_blocks, ba)
+    pred = B[:, 0].astype(np.int32) | (B[:, 1].astype(np.int32) << 8)
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)  # int16 header
+    idx = np.minimum(B[:, 2].astype(np.int32), 88)
+    payload = B[:, 4:]                               # (n_blocks, ba-4)
+    # low nibble first, then high — interleave into (n_blocks, 2*(ba-4))
+    nibbles = np.empty((n_blocks, (ba - 4) * 2), dtype=np.uint8)
+    nibbles[:, 0::2] = payload & 0x0F
+    nibbles[:, 1::2] = payload >> 4
+    out = np.empty((n_blocks, spb), dtype=np.int32)
+    out[:, 0] = pred
+    for t in range(spb - 1):
+        n = nibbles[:, t].astype(np.int32)
+        step = _STEPS[idx]
+        diff = (step >> 3) + np.where(n & 1, step >> 2, 0) \
+            + np.where(n & 2, step >> 1, 0) + np.where(n & 4, step, 0)
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + _INDEX_ADJ[n & 7], 0, 88)
+        out[:, t + 1] = pred
+    flat = out.reshape(-1)[:n_samples]
+    return (flat.astype(np.float32) / 32767.0)
+
+
+def adpcm_encode_blocks(pcm: np.ndarray,
+                        block_align: int = DEFAULT_BLOCK_ALIGN
+                        ) -> Tuple[bytes, int]:
+    """Encode float32 PCM in [-1, 1] to mono IMA ADPCM blocks; returns
+    ``(data, n_samples)``.  Each block header seeds the predictor with
+    the block's true first sample and a step index fitted to the first
+    difference, so blocks stay mutually independent (the property the
+    vectorized decoder and any parallel container reader rely on);
+    the adaptation self-corrects within a few samples either way.
+    The tail block is zero-padded to ``block_align`` (decode trims by
+    the fact-chunk sample count)."""
+    ba = int(block_align)
+    spb = _adpcm_samples_per_block(ba)
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    s16 = np.round(x * 32767.0).astype(np.int32)
+    n = len(s16)
+    if n == 0:
+        return b"", 0
+    n_blocks = (n + spb - 1) // spb
+    S = np.zeros((n_blocks, spb), dtype=np.int32)
+    S.reshape(-1)[:n] = s16
+    # pad the tail by holding the last sample (a zero step encodes
+    # cleanly and the decoder trims anyway)
+    if n < n_blocks * spb:
+        S.reshape(-1)[n:] = s16[-1]
+    pred = S[:, 0].copy()
+    # fit the initial step index to the first in-block difference
+    first_diff = np.abs(S[:, 1] - S[:, 0]) if spb > 1 \
+        else np.zeros(n_blocks, dtype=np.int32)
+    idx = np.searchsorted(_STEPS, first_diff).astype(np.int32)
+    idx = np.clip(idx, 0, 88)
+    idx0 = idx.copy()
+    nibbles = np.empty((n_blocks, spb - 1), dtype=np.uint8)
+    for t in range(spb - 1):
+        step = _STEPS[idx]
+        delta = S[:, t + 1] - pred
+        sign = delta < 0
+        mag = np.abs(delta)
+        code = np.where(sign, 8, 0).astype(np.int32)
+        ge = mag >= step
+        code |= np.where(ge, 4, 0)
+        mag = mag - np.where(ge, step, 0)
+        half = step >> 1
+        ge = mag >= half
+        code |= np.where(ge, 2, 0)
+        mag = mag - np.where(ge, half, 0)
+        code |= np.where(mag >= (step >> 2), 1, 0)
+        # decoder-mirror state update keeps encoder and decoder in sync
+        diff = (step >> 3) + np.where(code & 1, step >> 2, 0) \
+            + np.where(code & 2, half, 0) + np.where(code & 4, step, 0)
+        pred = np.clip(pred + np.where(code & 8, -diff, diff),
+                       -32768, 32767)
+        idx = np.clip(idx + _INDEX_ADJ[code & 7], 0, 88)
+        nibbles[:, t] = code.astype(np.uint8)
+    packed = (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
+    header = np.empty((n_blocks, 4), dtype=np.uint8)
+    p0 = S[:, 0] & 0xFFFF
+    header[:, 0] = p0 & 0xFF
+    header[:, 1] = p0 >> 8
+    header[:, 2] = idx0.astype(np.uint8)
+    header[:, 3] = 0
+    return np.concatenate([header, packed], axis=1).tobytes(), n
+
+
+def encode_wav(pcm: np.ndarray, sr_hz: int, fmt: str = "pcm_s16le",
+               block_align: int = DEFAULT_BLOCK_ALIGN) -> bytes:
+    """Serialize mono PCM to a RIFF/WAVE file in the given sample
+    format (``pcm_s16le``/``pcm_f32le``/``mulaw``/``alaw``/
+    ``adpcm_ima``)."""
+    from drain3_spark.audio.codecs import encode as raw_encode
+    tag = _TAG_OF[fmt]
+    sr = int(sr_hz)
+    if fmt == "adpcm_ima":
+        data, n_samples = adpcm_encode_blocks(pcm, block_align)
+        spb = _adpcm_samples_per_block(block_align)
+        avg_bps = sr * block_align // spb
+        fmt_chunk = struct.pack("<HHIIHHHH", tag, 1, sr, avg_bps,
+                                block_align, 4, 2, spb)
+        fact = struct.pack("<4sII", b"fact", 4, n_samples)
+    else:
+        data = raw_encode(np.asarray(pcm, dtype=np.float32), fmt)
+        bits = {"pcm_s16le": 16, "pcm_f32le": 32,
+                "mulaw": 8, "alaw": 8}[fmt]
+        ba = bits // 8
+        fmt_chunk = struct.pack("<HHIIHH", tag, 1, sr, sr * ba, ba, bits)
+        fact = b""
+    chunks = struct.pack("<4sI", b"fmt ", len(fmt_chunk)) + fmt_chunk
+    if len(fmt_chunk) % 2:
+        chunks += b"\x00"
+    chunks += fact
+    chunks += struct.pack("<4sI", b"data", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE file; returns ``(pcm_float32, sr_hz)``.
+
+    Walks the chunk list (chunks may appear in any order and carry odd
+    lengths padded to even offsets, per the RIFF spec); raises
+    ``ValueError`` on a malformed container or an unsupported
+    ``wFormatTag``."""
+    from drain3_spark.audio.codecs import decode as raw_decode
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(buf), 8 + struct.unpack("<I", buf[4:8])[0])
+    fmt = None
+    data = None
+    fact_samples = None
+    while pos + 8 <= end:
+        cid, clen = struct.unpack("<4sI", buf[pos:pos + 8])
+        body = buf[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact" and clen >= 4:
+            fact_samples = struct.unpack("<I", body[:4])[0]
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, channels, sr, _bps, block_align, bits = fmt
+    if channels != 1:
+        raise ValueError(f"only mono WAV supported, got {channels} channels")
+    codec = WAV_FORMAT_TAGS.get(tag)
+    if codec is None:
+        raise ValueError(f"unsupported WAVE format tag 0x{tag:x}")
+    if codec == "adpcm_ima":
+        if block_align < 5:
+            raise ValueError("invalid ADPCM block align")
+        spb = _adpcm_samples_per_block(block_align)
+        n_blocks = len(data) // block_align
+        n = fact_samples if fact_samples is not None else n_blocks * spb
+        return adpcm_decode_blocks(data, block_align, int(n)), int(sr)
+    return raw_decode(data, codec), int(sr)
+
+
+def wav_header(payload: bytes) -> Tuple[str, int, int]:
+    """Header-only parse: ``(inner_codec, sr_hz, n_samples)`` without
+    decoding any sample data — the cheap path for container-metadata
+    consistency checks (the table's ``sr_hz``/``dur_ms`` columns vs
+    what the container itself declares).  ``n_samples`` comes from the
+    fact chunk (ADPCM) or the data-chunk length over the sample size;
+    raises ``ValueError`` on a malformed container."""
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(buf), 8 + struct.unpack("<I", buf[4:8])[0])
+    fmt = None
+    data_len = None
+    fact_samples = None
+    while pos + 8 <= end:
+        cid, clen = struct.unpack("<4sI", buf[pos:pos + 8])
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", buf[pos + 8:pos + 24])
+        elif cid == b"data":
+            data_len = clen
+        elif cid == b"fact" and clen >= 4:
+            fact_samples = struct.unpack("<I", buf[pos + 8:pos + 12])[0]
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data_len is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, channels, sr, _bps, block_align, bits = fmt
+    if channels != 1:
+        raise ValueError(f"only mono WAV supported, got {channels} channels")
+    codec = WAV_FORMAT_TAGS.get(tag)
+    if codec is None:
+        raise ValueError(f"unsupported WAVE format tag 0x{tag:x}")
+    if codec == "adpcm_ima":
+        if block_align < 5:
+            raise ValueError("invalid ADPCM block align")
+        n = fact_samples if fact_samples is not None else \
+            (data_len // block_align) * _adpcm_samples_per_block(block_align)
+    else:
+        n = data_len // max(bits // 8, 1)
+    return codec, int(sr), int(n)
+
+
+def wav_sample_rate(payload: bytes) -> int:
+    """The container's own sample rate (for metadata cross-checks)."""
+    return wav_header(payload)[1]

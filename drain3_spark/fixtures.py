@@ -37,6 +37,7 @@ CHECK_DUR_BOUNDS = "dur_bounds"
 CHECK_SR_DOMAIN = "sr_domain"
 CHECK_AUDIO_DECODE = "audio_decode"
 CHECK_TRANSCRIPT_EQ = "transcript_equality"
+CHECK_CONTAINER_META = "container_metadata"
 
 DUR_OUT_OF_RANGE = 10_000_000
 SR_ILLEGAL = 12345
@@ -208,6 +209,54 @@ def pad_ms(m: Dict) -> tuple:
     recomputes the expected trim exactly (q45 pin)."""
     h = m["h"]
     return 40 + (h >> 40) % 80, 40 + (h >> 46) % 80
+
+
+# the q48 codec/container matrix: every raw codec plus every WAV
+# container variant, cycled deterministically by row index
+CODEC_MATRIX = ("pcm_s16le", "pcm_f32le", "mulaw", "alaw",
+                "wav", "wav:pcm_s16le", "wav:pcm_f32le", "wav:mulaw",
+                "wav:alaw", "wav:adpcm_ima")
+
+
+def gen_clips_wav(spark: SparkSession, n: int, n_ds: int = 7,
+                  dur_lo: int = 200, dur_hi: int = 1200,
+                  sr_mismatch_every: int = 17,
+                  partitions: Optional[int] = None) -> DataFrame:
+    """Codec/container-matrix clips table (q48): row ``i`` carries
+    ``CODEC_MATRIX[i % 10]``, the same :func:`reference_pcm` signal as
+    T1 routed through the matching encoder.  WAV payloads embed the
+    clip's true ``sr_hz`` — except every ``sr_mismatch_every``-th WAV
+    row, whose CONTAINER header lies about the rate (the table column
+    stays right): the planted defect the container-metadata
+    consistency check must flag, and nothing else may."""
+    from drain3_spark.shipping import ship_package
+    ship_package(spark)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.wav import encode_wav
+        cols = [f.name for f in CLIPS_SCHEMA.fields]
+        for b in batches:
+            rows: List[tuple] = []
+            for i in b["id"]:
+                i = int(i)
+                m = row_meta(i, n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi)
+                codec = CODEC_MATRIX[i % len(CODEC_MATRIX)]
+                pcm = reference_pcm(m["clip_id"], m["sr_hz"], m["dur_ms"])
+                if codec.startswith("wav"):
+                    inner = codec.split(":", 1)[1] if ":" in codec \
+                        else "pcm_s16le"
+                    container_sr = m["sr_hz"]
+                    if i % sr_mismatch_every == 0:
+                        container_sr = _SR_FLIP[m["sr_hz"]]
+                    payload = encode_wav(pcm, container_sr, inner)
+                else:
+                    payload = encode(pcm, codec)
+                rows.append((m["clip_id"], bytearray(payload), m["sr_hz"],
+                             m["dur_ms"], codec, m["transcript"], m["ds"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(synth, CLIPS_SCHEMA)
 
 
 def gen_clips_padded(spark: SparkSession, n: int, n_ds: int = 7,

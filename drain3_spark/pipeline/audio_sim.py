@@ -562,7 +562,7 @@ def normalize_gain(clips: DataFrame, target_rms: float = 0.1,
                 y = pcm * g
                 clipped = float(np.mean(np.abs(y) > 1.0)) if len(y) else 0.0
                 y = np.clip(y, -1.0, 1.0).astype(np.float32)
-                out.append((cid, bytearray(encode(y, codec)), int(sr),
+                out.append((cid, bytearray(encode(y, codec, int(sr))), int(sr),
                             int(dur), codec,
                             float(20.0 * np.log10(g)) if g > 0 else 0.0,
                             clipped))
@@ -605,7 +605,7 @@ def resample_clips(clips: DataFrame, target_sr: int) -> DataFrame:
                 t_new = np.arange(n_new, dtype=np.float64) / tsr
                 t_old = np.arange(len(pcm), dtype=np.float64) / float(sr)
                 y = np.interp(t_new, t_old, pcm).astype(np.float32)
-                out.append((cid, bytearray(encode(y, codec)), tsr,
+                out.append((cid, bytearray(encode(y, codec, tsr)), tsr,
                             int(round(n_new * 1000.0 / tsr)), codec))
             yield pd.DataFrame(out, columns=[f.name for f in RESAMPLED_SCHEMA])
 
@@ -675,7 +675,7 @@ def denoise_clips(clips: DataFrame, frame_ms: int = 32,
                     continue
                 y = _wiener_denoise(pcm, int(sr), frame_ms, alpha)
                 y = np.clip(y, -1.0, 1.0).astype(np.float32)
-                out.append((cid, bytearray(encode(y, codec)), int(sr),
+                out.append((cid, bytearray(encode(y, codec, int(sr))), int(sr),
                             int(dur), codec))
             yield pd.DataFrame(out, columns=[f.name for f in RESAMPLED_SCHEMA])
 
@@ -715,7 +715,7 @@ def trim_silence(clips: DataFrame, frame_ms: int = 20,
                     lo_f, hi_f = int(live[0]), int(live[-1]) + 1
                 lo, hi = lo_f * frame, min(hi_f * frame, len(pcm))
                 y = pcm[lo:hi].astype(np.float32)
-                out.append((cid, bytearray(encode(y, codec)), sr,
+                out.append((cid, bytearray(encode(y, codec, sr)), sr,
                             int(round(len(y) * 1000.0 / sr)), codec,
                             int(round(lo * 1000.0 / sr)),
                             int(round((len(pcm) - hi) * 1000.0 / sr))))

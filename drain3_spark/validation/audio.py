@@ -30,19 +30,29 @@ AUDIO_RESULT_SCHEMA = T.StructType([
 ])
 
 
+# codec-aware SNR gates: IMA ADPCM is a 4-bit ADPCM codec whose
+# quantization noise on full-scale tonal program sits ~20-35 dB below
+# signal BY DESIGN — gating it at the linear/companded codecs' 30 dB
+# would flag every healthy clip (measured worst-case 20.0 dB on the
+# fixture signal family; gate at 15 with margin)
+SNR_MIN_BY_CODEC = {"wav:adpcm_ima": 15.0}
+
+
 def audio_decode_results(clips: DataFrame,
                          snr_min: float = 30.0,
                          dur_bounds: Tuple[int, int] = (100, 5000),
                          sr_domain: Sequence[int] = (8000, 16000, 22050, 44100, 48000),
                          ) -> DataFrame:
-    """Per-clip (snr_db, passed) for structurally valid rows."""
-    from drain3_spark.audio.codecs import CODECS
+    """Per-clip (snr_db, passed) for structurally valid rows; the pass
+    gate is ``snr_min`` except where :data:`SNR_MIN_BY_CODEC` lowers it
+    for an inherently lossier codec."""
+    from drain3_spark.audio.codecs import CODECS, WAV_CODECS
     from drain3_spark.shipping import ship_package
     ship_package(clips.sparkSession)
 
     lo, hi = dur_bounds
     valid = (clips
-             .filter(F.col("codec").isin(*CODECS)
+             .filter(F.col("codec").isin(*CODECS, *WAV_CODECS)
                      & F.col("sr_hz").isin(*[int(s) for s in sr_domain])
                      & F.col("dur_ms").between(lo, hi)
                      & F.col("bytes").isNotNull())
@@ -62,11 +72,86 @@ def audio_decode_results(clips: DataFrame,
                 except Exception:
                     s = float("-inf")
                 snrs.append(s)
-                oks.append(bool(s >= snr_min))
+                gate = min(snr_min, SNR_MIN_BY_CODEC.get(codec, snr_min))
+                oks.append(bool(s >= gate))
             yield pd.DataFrame({"clip_id": b["clip_id"], "ds": b["ds"],
                                 "snr_db": snrs, "passed": oks})
 
     return valid.mapInPandas(check, AUDIO_RESULT_SCHEMA)
+
+
+CONTAINER_META_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("ds", T.StringType()),
+    T.StructField("container_codec", T.StringType()),
+    T.StructField("container_sr_hz", T.IntegerType()),
+    T.StructField("container_dur_ms", T.IntegerType()),
+    T.StructField("sr_ok", T.BooleanType()),
+    T.StructField("dur_ok", T.BooleanType()),
+    T.StructField("parse_ok", T.BooleanType()),
+])
+
+
+def container_metadata_results(clips: DataFrame,
+                               dur_tol_ms: int = 2) -> DataFrame:
+    """Container-vs-column metadata consistency for self-describing
+    payloads (``codec`` starting with ``wav``): the RIFF header's own
+    sample rate and implied duration must agree with the table's
+    ``sr_hz``/``dur_ms`` columns — a check raw sample-stream codecs
+    cannot express, and the first thing to drift when an ingest job
+    transcodes without rewriting metadata.  HEADER-ONLY parse
+    (:func:`drain3_spark.audio.wav.wav_header`): no sample data is
+    decoded, so the pass is cheap enough to run on every ingest batch
+    even when the SNR decode check is sampled."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
+
+    wav_rows = (clips.filter(F.col("codec").startswith("wav")
+                             & F.col("bytes").isNotNull())
+                .select("clip_id", "ds", "bytes", "sr_hz", "dur_ms"))
+    tol = int(dur_tol_ms)
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.wav import wav_header
+        for b in batches:
+            rows = []
+            for cid, ds, payload, sr, dur in zip(
+                    b["clip_id"], b["ds"], b["bytes"], b["sr_hz"],
+                    b["dur_ms"]):
+                try:
+                    codec, c_sr, n = wav_header(bytes(payload))
+                except Exception:
+                    rows.append((cid, ds, None, None, None,
+                                 False, False, False))
+                    continue
+                c_dur = int(round(n * 1000.0 / c_sr)) if c_sr else 0
+                rows.append((cid, ds, codec, int(c_sr), c_dur,
+                             bool(int(c_sr) == int(sr)),
+                             bool(abs(c_dur - int(dur)) <= tol), True))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              CONTAINER_META_SCHEMA])
+
+    return wav_rows.mapInPandas(check, CONTAINER_META_SCHEMA)
+
+
+def container_metadata_violations(clips: DataFrame,
+                                  dur_tol_ms: int = 2) -> DataFrame:
+    from drain3_spark.fixtures import CHECK_CONTAINER_META
+    res = container_metadata_results(clips, dur_tol_ms)
+    detail = (F.when(~F.col("parse_ok"), F.lit("unparseable container"))
+              .when(~F.col("sr_ok"),
+                    F.concat(F.lit("container sr_hz="),
+                             F.col("container_sr_hz").cast("string"),
+                             F.lit(" != column")))
+              .otherwise(F.concat(F.lit("container dur_ms="),
+                                  F.col("container_dur_ms").cast("string"),
+                                  F.lit(" != column"))))
+    return (res.filter(~F.col("sr_ok") | ~F.col("dur_ok")
+                       | ~F.col("parse_ok"))
+            .select("clip_id", "ds",
+                    F.lit(CHECK_CONTAINER_META).alias("check"),
+                    detail.alias("detail"))
+            .distinct())
 
 
 def audio_violations(clips: DataFrame, snr_min: float = 30.0,

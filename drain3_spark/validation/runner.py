@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from drain3_spark.fixtures import VIOLATION_SCHEMA
 from drain3_spark.validation import checks as C
-from drain3_spark.validation.audio import audio_violations
+from drain3_spark.validation.audio import (audio_violations,
+                                           container_metadata_violations)
 from drain3_spark.validation.drift import chisq_drift, ks_drift
 from drain3_spark.util import local_df
 
@@ -54,6 +55,10 @@ class ValidationConfig:
     drift_alpha: float = 0.05
     with_audio: bool = True
     with_drift: bool = True
+    # container-vs-column metadata consistency for self-describing
+    # (wav*) payloads — header-only parse, no sample decode; a no-op
+    # scan on corpora with no container codecs
+    check_container_meta: bool = True
     # drift-cube duration bucketing: the cube is COLLECTED to the
     # driver, so its dur axis must stay bounded however wide the data's
     # duration domain grows.  None = auto width
@@ -105,6 +110,8 @@ class ValidationEngine:
         if not cfg.with_audio:
             return v
         a = audio_violations(clips, cfg.snr_min, cfg.dur_bounds, cfg.sr_domain)
+        if cfg.check_container_meta:
+            a = a.unionByName(container_metadata_violations(clips))
         if materialize:
             # profiler sections time each job; sample counts are in-job
             # Observation counters (A17, drain3/simple_profiler.py)

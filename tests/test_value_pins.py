@@ -477,3 +477,48 @@ def test_q47_audio_quality_pin(spark):
                    - float(np.mean([q[5] for q in qs]))) <= 1e-6
         assert abs(r.avg_rms_dbfs
                    - float(np.mean([q[1] for q in qs]))) <= 1e-4
+
+
+# --------------------------------------------------------------- q48
+
+def test_q48_audio_codec_matrix_pin(spark):
+    """Per-codec matrix aggregates == an independent local replay: the
+    same reference signal is re-encoded through each codec/container
+    locally, SNR gated with the codec-aware thresholds, and the planted
+    container-sr lies recounted from the fixture contract."""
+    from collections import defaultdict
+
+    from drain3_spark.audio.codecs import decode, encode, snr_db
+    from drain3_spark.audio.synth import reference_pcm
+    from drain3_spark.validation.audio import SNR_MIN_BY_CODEC
+
+    got = {r.codec: r for r in
+           entry.queries()["q48_audio_codec_matrix"](spark, SF).collect()}
+
+    n_total = 400
+    stats = defaultdict(lambda: {"n": 0, "ok": 0, "snrs": [], "bad": 0})
+    for i in range(n_total):
+        m = FX.row_meta(i, dur_lo=200, dur_hi=1200)
+        codec = FX.CODEC_MATRIX[i % len(FX.CODEC_MATRIX)]
+        pcm = reference_pcm(m["clip_id"], m["sr_hz"], m["dur_ms"])
+        payload = encode(pcm, codec, sr_hz=m["sr_hz"])
+        s = snr_db(pcm, decode(payload, codec))
+        st = stats[codec]
+        st["n"] += 1
+        st["ok"] += int(s >= SNR_MIN_BY_CODEC.get(codec, 30.0))
+        if s != float("inf"):
+            st["snrs"].append(round(s, 2))
+        if codec.startswith("wav") and i % 17 == 0:
+            st["bad"] += 1
+
+    assert set(got) == set(stats) == set(FX.CODEC_MATRIX)
+    for codec, st in stats.items():
+        r = got[codec]
+        assert (r.n, r.n_snr_ok) == (st["n"], st["ok"]), codec
+        assert r.n_sr_bad == r.n_dur_bad == st["bad"], codec
+        if st["snrs"]:
+            assert abs(r.min_snr - min(st["snrs"])) <= 0.05, codec
+        else:
+            assert r.min_snr is None, codec
+    # every variant is populated and every healthy clip passes its gate
+    assert all(st["ok"] == st["n"] == 40 for st in stats.values())
