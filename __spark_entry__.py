@@ -704,6 +704,28 @@ def _q48_audio_codec_matrix(spark, sf):
             .orderBy("codec"))
 
 
+def _q49_audio_segments(spark, sf):
+    """Training-window segmentation over the clean corpus: every clip
+    chunked into 500 ms windows at a 400 ms hop (25% overlap) plus a
+    >=200 ms tail, re-encoded with the clip's own codec — the pass that
+    turns variable-length corpus audio into model-ready examples.
+    Rows-only (binary re-encode); per-codec segment counts, durations,
+    and payload byte totals are pinned by independent local replay in
+    test_q49_audio_segments_pin (segments are sample-exact slices —
+    test_segment_clips_sample_exact)."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_sim import segment_clips
+    clips = FX.gen_clips(spark, 300)
+    segs = segment_clips(clips, win_ms=500, hop_ms=400, min_tail_ms=200)
+    return (segs.groupBy("codec")
+            .agg(F.countDistinct("clip_id").alias("n_clips"),
+                 F.count(F.lit(1)).alias("n_segments"),
+                 F.sum("dur_ms").alias("total_seg_ms"),
+                 F.sum(F.length("bytes")).alias("total_bytes"),
+                 F.max("seg_idx").alias("max_seg_idx"))
+            .orderBy("codec"))
+
+
 def _q43_image_formats(spark, sf):
     """The full native image-container matrix through ONE plumbing
     path: a corpus cycling PPM / BMP / PNG / baseline JPEG / GIF /
@@ -870,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_audio_fingerprint": _q46_audio_fingerprint,
         "q47_audio_quality": _q47_audio_quality,
         "q48_audio_codec_matrix": _q48_audio_codec_matrix,
+        "q49_audio_segments": _q49_audio_segments,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,

@@ -683,6 +683,75 @@ def denoise_clips(clips: DataFrame, frame_ms: int = 32,
             .mapInPandas(dn, RESAMPLED_SCHEMA))
 
 
+SEGMENT_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("seg_idx", T.IntegerType()),
+    T.StructField("seg_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("sr_hz", T.IntegerType()),
+    T.StructField("dur_ms", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("t0_ms", T.IntegerType()),
+])
+
+
+def segment_clips(clips: DataFrame, win_ms: int = 1000, hop_ms: int = 800,
+                  min_tail_ms: int = 200) -> DataFrame:
+    """Chunk every clip into fixed-length training windows: a window of
+    ``win_ms`` every ``hop_ms`` (overlap when hop < win), plus one tail
+    window for the remainder when at least ``min_tail_ms`` survives —
+    the segmentation pass that turns variable-length corpus clips into
+    model-ready examples.  Segments are SAMPLE-EXACT slices of the
+    decoded clip (boundary index = ``round(sr * k * hop / 1000)``),
+    re-encoded with the clip's own codec, with ``seg_id =
+    "{clip_id}#<k>"`` and the slice origin in ``t0_ms``.
+
+    100-TB shape: one decode per clip; every segment is produced inside
+    the same task (no shuffle, no payload re-reads); output volume is
+    the input times ~``win/hop`` — the caller picks the overlap, the
+    operator never amplifies beyond it.  Undecodable payloads are
+    dropped (the decode CHECK family owns flagging them); clips shorter
+    than ``min_tail_ms`` yield no segments."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
+    if hop_ms <= 0 or win_ms <= 0:
+        raise ValueError("win_ms and hop_ms must be positive")
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.codecs import decode, encode
+        for b in batches:
+            out = []
+            for cid, payload, sr, codec in zip(b["clip_id"], b["bytes"],
+                                               b["sr_hz"], b["codec"]):
+                try:
+                    pcm = decode(bytes(payload), codec).astype(np.float32)
+                except Exception:
+                    continue
+                sr = int(sr)
+                n = len(pcm)
+                k = 0
+                while True:
+                    lo = int(round(sr * k * hop_ms / 1000.0))
+                    if lo >= n:
+                        break
+                    hi = min(lo + int(round(sr * win_ms / 1000.0)), n)
+                    seg_ms = int(round((hi - lo) * 1000.0 / sr))
+                    if hi < lo + int(round(sr * win_ms / 1000.0)) \
+                            and seg_ms < min_tail_ms:
+                        break
+                    out.append((cid, k, f"{cid}#{k}",
+                                bytearray(encode(pcm[lo:hi], codec, sr)),
+                                sr, seg_ms, codec,
+                                int(round(lo * 1000.0 / sr))))
+                    if hi >= n:
+                        break
+                    k += 1
+            yield pd.DataFrame(out, columns=[f.name for f in SEGMENT_SCHEMA])
+
+    return (clips.select("clip_id", "bytes", "sr_hz", "codec")
+            .mapInPandas(seg, SEGMENT_SCHEMA))
+
+
 def trim_silence(clips: DataFrame, frame_ms: int = 20,
                  silence_rms: float = 0.01) -> DataFrame:
     """Strip leading/trailing silent frames (frame RMS below

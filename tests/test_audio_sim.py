@@ -408,3 +408,74 @@ def test_audio_lsh_hot_band_bounded(spark):
     got = {(r.clip_id_a, r.clip_id_b)
            for r in audio_sim.audio_near_dup_pairs(df, 0.999).collect()}
     assert ("hot-0000", "hot-dup0") in got
+
+
+def test_segment_clips_sample_exact(spark):
+    """Segments are sample-exact slices of the decoded clip, and the
+    window/hop/tail arithmetic matches a local replay."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.audio.codecs import decode
+    from drain3_spark.audio.synth import reference_pcm
+    from drain3_spark.pipeline.audio_sim import segment_clips
+
+    clips = FX.gen_clips(spark, 40)
+    segs = segment_clips(clips, win_ms=500, hop_ms=400, min_tail_ms=200)
+    rows = segs.collect()
+    assert rows
+
+    per_clip = {}
+    for r in rows:
+        per_clip.setdefault(r.clip_id, []).append(r)
+    for cid, rs in per_clip.items():
+        m = FX.row_meta(int(cid.split("-")[1]))
+        sr, dur = m["sr_hz"], m["dur_ms"]
+        pcm = reference_pcm(cid, sr, dur)
+        # re-encode the original the way the fixture did, then decode —
+        # the segment slices must equal slices of THIS decoded signal
+        from drain3_spark.audio.codecs import encode
+        base = decode(encode(pcm, m["codec"]), m["codec"])
+        n = len(base)
+        win, hop = int(round(sr * 0.5)), int(round(sr * 0.4))
+        expected = []
+        k = 0
+        while True:
+            lo = int(round(sr * k * 400 / 1000.0))
+            if lo >= n:
+                break
+            hi = min(lo + win, n)
+            seg_ms = int(round((hi - lo) * 1000.0 / sr))
+            if hi < lo + win and seg_ms < 200:
+                break
+            expected.append((k, lo, hi, seg_ms))
+            if hi >= n:
+                break
+            k += 1
+        assert sorted(r.seg_idx for r in rs) == [e[0] for e in expected], cid
+        for r in rs:
+            k, lo, hi, seg_ms = expected[r.seg_idx]
+            assert r.seg_id == f"{cid}#{k}"
+            assert r.dur_ms == seg_ms
+            assert r.t0_ms == int(round(lo * 1000.0 / sr))
+            got = decode(bytes(r.bytes), r.codec)
+            # pcm/companded codecs re-encode losslessly on their own
+            # quantization lattice, so the slice is bit-exact
+            assert np.array_equal(got, base[lo:hi]), (cid, k)
+
+
+def test_segment_clips_short_and_undecodable(spark):
+    from drain3_spark.audio.codecs import encode
+    from drain3_spark.pipeline.audio_sim import segment_clips
+    from drain3_spark.util import local_df
+    sr = 8000
+    tiny = encode(np.zeros(sr // 10, dtype=np.float32), "pcm_s16le")  # 100ms
+    rows = [("ok", bytearray(encode(np.ones(sr, dtype=np.float32) * 0.1,
+                                    "pcm_s16le")), sr, 1000, "pcm_s16le"),
+            ("short", bytearray(tiny), sr, 100, "pcm_s16le"),
+            ("junk", bytearray(b"\x01\x02"), sr, 1000, "wav")]
+    df = local_df(spark, rows, "clip_id string, bytes binary, sr_hz int, "
+                               "dur_ms int, codec string")
+    got = segment_clips(df, win_ms=500, hop_ms=400,
+                        min_tail_ms=200).collect()
+    ids = {r.clip_id for r in got}
+    assert ids == {"ok"}          # short: below min_tail; junk: dropped
+    assert sorted(r.seg_idx for r in got) == [0, 1, 2]  # 0-500,400-900,800-1000

@@ -522,3 +522,51 @@ def test_q48_audio_codec_matrix_pin(spark):
             assert r.min_snr is None, codec
     # every variant is populated and every healthy clip passes its gate
     assert all(st["ok"] == st["n"] == 40 for st in stats.values())
+
+
+# --------------------------------------------------------------- q49
+
+def test_q49_audio_segments_pin(spark):
+    """Per-codec segmentation aggregates == an independent local replay
+    of the window/hop/tail arithmetic + re-encode over every clip."""
+    from collections import defaultdict
+
+    from drain3_spark.audio.codecs import encode
+    from drain3_spark.audio.synth import reference_pcm
+
+    got = {r.codec: r for r in
+           entry.queries()["q49_audio_segments"](spark, SF).collect()}
+
+    stats = defaultdict(lambda: {"clips": set(), "n": 0, "ms": 0,
+                                 "bytes": 0, "max_k": 0})
+    for i in range(300):
+        m = FX.row_meta(i)
+        sr, dur, codec = m["sr_hz"], m["dur_ms"], m["codec"]
+        pcm = reference_pcm(m["clip_id"], sr, dur)
+        n = len(pcm)
+        win = int(round(sr * 0.5))
+        k = 0
+        while True:
+            lo = int(round(sr * k * 0.4))
+            if lo >= n:
+                break
+            hi = min(lo + win, n)
+            seg_ms = int(round((hi - lo) * 1000.0 / sr))
+            if hi < lo + win and seg_ms < 200:
+                break
+            st = stats[codec]
+            st["clips"].add(m["clip_id"])
+            st["n"] += 1
+            st["ms"] += seg_ms
+            st["bytes"] += len(encode(pcm[lo:hi], codec, sr))
+            st["max_k"] = max(st["max_k"], k)
+            if hi >= n:
+                break
+            k += 1
+
+    assert set(got) == set(stats)
+    for codec, st in stats.items():
+        r = got[codec]
+        assert (r.n_clips, r.n_segments, r.total_seg_ms, r.total_bytes,
+                r.max_seg_idx) == (len(st["clips"]), st["n"], st["ms"],
+                                   st["bytes"], st["max_k"]), codec
