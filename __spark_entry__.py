@@ -672,15 +672,16 @@ def _q47_audio_quality(spark, sf):
 
 def _q48_audio_codec_matrix(spark, sf):
     """The full audio codec/container matrix through ONE decode path:
-    raw sample streams (pcm16 / f32 / mulaw / alaw) and self-describing
+    raw sample streams (pcm16 / f32 / mulaw / alaw), self-describing
     RIFF/WAVE containers (PCM16 / float / mulaw / alaw / IMA ADPCM
     inner formats — own container walk + block-vectorized ADPCM
-    decoder), the same reference signal per clip, validated by the
-    codec-aware SNR gate AND the container-metadata consistency check
-    (planted container-sr lies every 17th wav row must be flagged;
-    nothing else may).  Rows-only (binary decode); per-codec counts,
-    SNR pass rates, and the mismatch tally are pinned by local replay
-    in test_q48_audio_codec_matrix_pin."""
+    decoder), and FLAC (own lossless codec: fixed/LPC subframes, Rice
+    partitions, CRC-8/16) — the same reference signal per clip,
+    validated by the codec-aware SNR gate AND the container-metadata
+    consistency check (planted container-sr lies every 17th container
+    row must be flagged; nothing else may).  Rows-only (binary decode);
+    per-codec counts, SNR pass rates, and the mismatch tally are pinned
+    by local replay in test_q48_audio_codec_matrix_pin."""
     from drain3_spark import fixtures as FX
     from drain3_spark.validation.audio import (audio_decode_results,
                                                container_metadata_results)

@@ -29,6 +29,8 @@ CODECS = ("pcm_s16le", "pcm_f32le", "mulaw", "alaw")
 # validation can cross-check it against the table's sr_hz column.
 WAV_CODECS = ("wav", "wav:pcm_s16le", "wav:pcm_f32le", "wav:mulaw",
               "wav:alaw", "wav:adpcm_ima")
+# all self-describing containers (carry their own sample rate)
+CONTAINER_CODECS = WAV_CODECS + ("flac",)
 
 
 def _clip(x: np.ndarray) -> np.ndarray:
@@ -36,6 +38,9 @@ def _clip(x: np.ndarray) -> np.ndarray:
 
 
 def encode(pcm: np.ndarray, codec: str, sr_hz: int = 16000) -> bytes:
+    if codec == "flac":
+        from drain3_spark.audio.flac import encode_flac
+        return encode_flac(np.asarray(pcm, dtype=np.float32), sr_hz)
     if codec.startswith("wav"):
         from drain3_spark.audio.wav import encode_wav
         inner = codec.split(":", 1)[1] if ":" in codec else "pcm_s16le"
@@ -84,6 +89,9 @@ _ALAW_LUT = _expand_table("alaw")
 
 
 def decode(payload: bytes, codec: str) -> np.ndarray:
+    if codec == "flac":
+        from drain3_spark.audio.flac import decode_flac
+        return decode_flac(payload)[0]
     if codec.startswith("wav"):
         from drain3_spark.audio.wav import decode_wav
         return decode_wav(payload)[0]

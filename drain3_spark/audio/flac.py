@@ -1,0 +1,405 @@
+"""Library-free FLAC codec (mono, 16-bit subset).
+
+FLAC is the dominant lossless container in real audio corpora; this
+module implements the public format specification directly so the
+validation engine and the q48 codec/container matrix can exercise a
+self-describing LOSSLESS container next to WAV:
+
+* :func:`decode_flac` — STREAMINFO parse, frame-header walk (UTF-8
+  frame numbers, CRC-8), subframe decode for ALL four subframe types
+  (constant, verbatim, fixed-predictor orders 0-4, LPC up to order 32)
+  with wasted-bits, 4- and 5-bit Rice partitions and the escaped
+  raw-bits partition form; returns ``(pcm_float32, sr_hz)``.
+* :func:`encode_flac` — our own encoder (fixed predictors 0-2, one
+  Rice partition per subframe, correct CRC-8/CRC-16), so every decoder
+  feature in the encode path round-trips BIT-EXACTLY (lossless codec:
+  equality, not SNR, is the test oracle).
+* :func:`flac_header` — header-only (sr, total samples) for the
+  container-metadata consistency check.
+
+Bit-level decode is inherently serial; the Rice reader below walks
+residuals with precomputed one-bit positions + ``searchsorted`` so
+each residual costs O(1) Python steps (no per-bit loop), and clips
+decode independently inside batched Arrow UDFs — at 100-TB scale the
+parallel axis is clips, same as every other codec here.
+
+No code derives from the reference repo (it has no media handling).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Tuple
+
+import numpy as np
+
+_FIXED_COEFFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _make_crc_table(poly: int, width: int):
+    table = []
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc = _CRC8_TABLE[crc ^ byte]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TABLE[(crc >> 8) ^ byte]
+    return crc
+
+
+class _BitReader:
+    """MSB-first bit reader with an O(1)-per-residual Rice fast path."""
+
+    def __init__(self, data: bytes):
+        self._bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self._ones = np.flatnonzero(self._bits)  # positions of 1-bits
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        b = self._bits[self.pos:self.pos + n]
+        if len(b) < n:
+            raise ValueError("flac: bitstream truncated")
+        self.pos += n
+        out = 0
+        for bit in b:
+            out = (out << 1) | int(bit)
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        i = np.searchsorted(self._ones, self.pos)
+        if i >= len(self._ones):
+            raise ValueError("flac: bitstream truncated in unary")
+        stop = int(self._ones[i])
+        q = stop - self.pos
+        self.pos = stop + 1
+        return q
+
+    def read_rice_block(self, k: int, count: int) -> np.ndarray:
+        """``count`` Rice(k) residuals, zigzag-unfolded."""
+        out = np.empty(count, dtype=np.int64)
+        bits = self._bits
+        ones = self._ones
+        pos = self.pos
+        j = int(np.searchsorted(ones, pos))
+        for i in range(count):
+            stop = int(ones[j])
+            q = stop - pos
+            pos = stop + 1
+            if k:
+                r = 0
+                for bit in bits[pos:pos + k]:
+                    r = (r << 1) | int(bit)
+                pos += k
+                # j must skip any 1-bits consumed by the remainder
+                j = int(np.searchsorted(ones, pos))
+            else:
+                j += 1
+            v = (q << k) | (r if k else 0)
+            out[i] = (v >> 1) ^ -(v & 1)  # zigzag
+        self.pos = pos
+        return out
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) // 8 * 8
+
+
+class _BitWriter:
+    def __init__(self):
+        self._bits = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self._bits.append((value >> i) & 1)
+
+    def write_unary(self, q: int) -> None:
+        self._bits.extend([0] * q)
+        self._bits.append(1)
+
+    def write_rice(self, residuals: np.ndarray, k: int) -> None:
+        for v in residuals:
+            v = int(v)
+            u = (-v) * 2 - 1 if v < 0 else v * 2  # zigzag fold
+            self.write_unary(u >> k)
+            if k:
+                self.write(u & ((1 << k) - 1), k)
+
+    def align(self) -> None:
+        while len(self._bits) % 8:
+            self._bits.append(0)
+
+    def tobytes(self) -> bytes:
+        self.align()
+        arr = np.array(self._bits, dtype=np.uint8)
+        return np.packbits(arr).tobytes()
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (plain UTF-8 for < 2^31)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits = n.bit_length()
+    nbytes = 2
+    while bits > 1 + 5 * (nbytes - 1) + (7 - nbytes):
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 2, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_coded(data: bytes, pos: int) -> Tuple[int, int]:
+    b0 = data[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    n = b0 & (mask - 1)
+    for i in range(1, nbytes):
+        n = (n << 6) | (data[pos + i] & 0x3F)
+    return n, pos + nbytes
+
+
+_BLOCK_SIZE = 4096
+
+
+def encode_flac(pcm: np.ndarray, sr_hz: int,
+                block_size: int = _BLOCK_SIZE) -> bytes:
+    """Mono 16-bit FLAC with fixed predictors (the best of orders 0-2
+    per block by residual magnitude) and one Rice partition."""
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    s = np.round(x * 32767.0).astype(np.int64)
+    n = len(s)
+    sr = int(sr_hz)
+    streaminfo = struct.pack(">HH", block_size, block_size)
+    streaminfo += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    packed = (sr << 44) | (0 << 41) | (15 << 36) | n  # mono, 16-bit
+    streaminfo += packed.to_bytes(8, "big") + b"\x00" * 16
+    out = [b"fLaC", struct.pack(">BBH", 0x80, 0, len(streaminfo)),
+           streaminfo]
+
+    for f_idx, off in enumerate(range(0, n, block_size)):
+        blk = s[off:off + block_size]
+        bs = len(blk)
+        # frame header: sync+reserved+fixed-blocksize, codes for
+        # "get block size / sr from end of header", mono, 16-bit
+        hdr = bytearray(b"\xff\xf8")
+        hdr.append((0x7 << 4) | 0x0)   # blocksize code 7 (16-bit at end), sr code 0 (from STREAMINFO)
+        hdr.append((0x0 << 4) | (0x4 << 1))  # mono, sample size 16-bit
+        hdr += _utf8_coded(f_idx)
+        hdr += struct.pack(">H", bs - 1)
+        hdr.append(_crc8(bytes(hdr)))
+
+        # pick the fixed order with the smallest mean residual magnitude
+        cand = {0: blk.astype(np.int64)}
+        for o in (1, 2):
+            if bs > o:
+                cand[o] = np.diff(cand[o - 1])
+        order = min(cand, key=lambda o: float(np.abs(cand[o]).mean())
+                    if len(cand[o]) else 0.0)
+        res = cand[order]
+
+        w = _BitWriter()
+        w.write(0, 1)                      # subframe header pad bit
+        w.write(8 + order, 6)              # fixed subframe, this order
+        w.write(0, 1)                      # no wasted bits
+        for i in range(order):             # warmup samples
+            w.write(int(blk[i]) & 0xFFFF, 16)
+        # rice parameter: mean-magnitude heuristic
+        mean = float(np.mean(np.abs(res))) if len(res) else 0.0
+        k = 0
+        while (1 << k) < mean * 1.5 and k < 14:
+            k += 1
+        w.write(0, 2)                      # rice method 0 (4-bit params)
+        w.write(0, 4)                      # partition order 0
+        w.write(k, 4)
+        w.write_rice(res, k)
+        body = w.tobytes()
+        frame = bytes(hdr) + body
+        frame += struct.pack(">H", _crc16(frame))
+        out.append(frame)
+    return b"".join(out)
+
+
+def flac_header(payload: bytes) -> Tuple[int, int]:
+    """Header-only STREAMINFO parse: ``(sr_hz, total_samples)``."""
+    buf = bytes(payload)
+    if len(buf) < 4 or buf[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    while pos + 4 <= len(buf):
+        hdr = buf[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(buf[pos + 1:pos + 4], "big")
+        if btype == 0:
+            body = buf[pos + 4:pos + 4 + blen]
+            if len(body) < 18:
+                raise ValueError("flac: STREAMINFO truncated")
+            packed = int.from_bytes(body[10:18], "big")
+            sr = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            if channels != 1:
+                raise ValueError("only mono FLAC supported")
+            total = packed & ((1 << 36) - 1)
+            return int(sr), int(total)
+        if hdr & 0x80:
+            break
+        pos += 4 + blen
+    raise ValueError("flac: missing STREAMINFO")
+
+
+def decode_flac(payload: bytes) -> Tuple[np.ndarray, int]:
+    """Decode a mono 16-bit FLAC stream to float32 PCM in [-1, 1]."""
+    buf = bytes(payload)
+    sr, total = flac_header(buf)
+    # skip metadata blocks
+    pos = 4
+    while True:
+        hdr = buf[pos]
+        blen = int.from_bytes(buf[pos + 1:pos + 4], "big")
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    out = []
+    got = 0
+    while pos + 5 <= len(buf) and got < total:
+        if buf[pos] != 0xFF or (buf[pos + 1] & 0xFC) != 0xF8:
+            raise ValueError("flac: lost frame sync")
+        hpos = pos
+        bs_code = buf[pos + 2] >> 4
+        sr_code = buf[pos + 2] & 0x0F
+        ch_code = buf[pos + 3] >> 4
+        ss_code = (buf[pos + 3] >> 1) & 0x7
+        if ch_code != 0:
+            raise ValueError("only mono FLAC frames supported")
+        bits = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
+        if bits is None:
+            raise ValueError("flac: sample size from STREAMINFO unsupported")
+        pos += 4
+        _, pos = _read_utf8_coded(buf, pos)
+        if bs_code == 6:
+            bs = buf[pos] + 1
+            pos += 1
+        elif bs_code == 7:
+            bs = struct.unpack(">H", buf[pos:pos + 2])[0] + 1
+            pos += 2
+        elif bs_code >= 8:
+            bs = 256 << (bs_code - 8)
+        elif bs_code == 1:
+            bs = 192
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        else:
+            raise ValueError("flac: reserved block size code")
+        if sr_code == 12:
+            pos += 1
+        elif sr_code in (13, 14):
+            pos += 2
+        if _crc8(buf[hpos:pos]) != buf[pos]:
+            raise ValueError("flac: frame header CRC mismatch")
+        pos += 1
+
+        r = _BitReader(buf[pos:])
+        if r.read(1) != 0:
+            raise ValueError("flac: bad subframe pad bit")
+        stype = r.read(6)
+        wasted = 0
+        if r.read(1):
+            wasted = 1 + r.read_unary()
+        eff_bits = bits - wasted
+        if stype == 0:                       # constant
+            v = r.read_signed(eff_bits)
+            samples = np.full(bs, v, dtype=np.int64)
+        elif stype == 1:                     # verbatim
+            samples = np.array([r.read_signed(eff_bits) for _ in range(bs)],
+                               dtype=np.int64)
+        elif 8 <= stype <= 12 or stype >= 32:
+            if stype >= 32:                  # LPC
+                order = (stype & 0x1F) + 1
+                warm = [r.read_signed(eff_bits) for _ in range(order)]
+                prec = r.read(4) + 1
+                shift = r.read_signed(5)
+                coefs = np.array([r.read_signed(prec)
+                                  for _ in range(order)], dtype=np.int64)
+            else:                            # fixed
+                order = stype - 8
+                warm = [r.read_signed(eff_bits) for _ in range(order)]
+                coefs = None
+            res = _read_residual(r, bs, order)
+            samples = np.empty(bs, dtype=np.int64)
+            samples[:order] = warm
+            if coefs is None:
+                fc = np.array(_FIXED_COEFFS[order], dtype=np.int64)
+                for i in range(order, bs):
+                    samples[i] = res[i - order] + int(
+                        (fc * samples[i - order:i][::-1]).sum()) if order \
+                        else res[i]
+            else:
+                for i in range(order, bs):
+                    acc = int((coefs * samples[i - order:i][::-1]).sum())
+                    samples[i] = res[i - order] + (acc >> shift)
+        else:
+            raise ValueError(f"flac: reserved subframe type {stype}")
+        if wasted:
+            samples <<= wasted
+        r.align()
+        pos += r.pos // 8
+        if struct.unpack(">H", buf[pos:pos + 2])[0] != _crc16(buf[hpos:pos]):
+            raise ValueError("flac: frame CRC mismatch")
+        pos += 2
+        out.append(samples)
+        got += bs
+    pcm = (np.concatenate(out)[:total] if out
+           else np.zeros(0, dtype=np.int64))
+    return (pcm.astype(np.float32) / 32767.0), sr
+
+
+def _read_residual(r: _BitReader, bs: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual coding method")
+    kbits = 4 if method == 0 else 5
+    escape = (1 << kbits) - 1
+    porder = r.read(4)
+    parts = 1 << porder
+    out = []
+    for p in range(parts):
+        count = (bs >> porder) - (order if p == 0 else 0)
+        k = r.read(kbits)
+        if k == escape:
+            raw = r.read(5)
+            out.append(np.array([r.read_signed(raw) if raw else 0
+                                 for _ in range(count)], dtype=np.int64))
+        else:
+            out.append(r.read_rice_block(k, count))
+    return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)

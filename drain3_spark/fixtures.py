@@ -215,7 +215,7 @@ def pad_ms(m: Dict) -> tuple:
 # container variant, cycled deterministically by row index
 CODEC_MATRIX = ("pcm_s16le", "pcm_f32le", "mulaw", "alaw",
                 "wav", "wav:pcm_s16le", "wav:pcm_f32le", "wav:mulaw",
-                "wav:alaw", "wav:adpcm_ima")
+                "wav:alaw", "wav:adpcm_ima", "flac")
 
 
 def gen_clips_wav(spark: SparkSession, n: int, n_ds: int = 7,
@@ -242,13 +242,16 @@ def gen_clips_wav(spark: SparkSession, n: int, n_ds: int = 7,
                 m = row_meta(i, n_ds=n_ds, dur_lo=dur_lo, dur_hi=dur_hi)
                 codec = CODEC_MATRIX[i % len(CODEC_MATRIX)]
                 pcm = reference_pcm(m["clip_id"], m["sr_hz"], m["dur_ms"])
-                if codec.startswith("wav"):
-                    inner = codec.split(":", 1)[1] if ":" in codec \
-                        else "pcm_s16le"
+                if codec.startswith("wav") or codec == "flac":
                     container_sr = m["sr_hz"]
                     if i % sr_mismatch_every == 0:
                         container_sr = _SR_FLIP[m["sr_hz"]]
-                    payload = encode_wav(pcm, container_sr, inner)
+                    if codec == "flac":
+                        payload = encode(pcm, codec, sr_hz=container_sr)
+                    else:
+                        inner = codec.split(":", 1)[1] if ":" in codec \
+                            else "pcm_s16le"
+                        payload = encode_wav(pcm, container_sr, inner)
                 else:
                     payload = encode(pcm, codec)
                 rows.append((m["clip_id"], bytearray(payload), m["sr_hz"],

@@ -46,13 +46,13 @@ def audio_decode_results(clips: DataFrame,
     """Per-clip (snr_db, passed) for structurally valid rows; the pass
     gate is ``snr_min`` except where :data:`SNR_MIN_BY_CODEC` lowers it
     for an inherently lossier codec."""
-    from drain3_spark.audio.codecs import CODECS, WAV_CODECS
+    from drain3_spark.audio.codecs import CODECS, CONTAINER_CODECS
     from drain3_spark.shipping import ship_package
     ship_package(clips.sparkSession)
 
     lo, hi = dur_bounds
     valid = (clips
-             .filter(F.col("codec").isin(*CODECS, *WAV_CODECS)
+             .filter(F.col("codec").isin(*CODECS, *CONTAINER_CODECS)
                      & F.col("sr_hz").isin(*[int(s) for s in sr_domain])
                      & F.col("dur_ms").between(lo, hi)
                      & F.col("bytes").isNotNull())
@@ -95,31 +95,39 @@ CONTAINER_META_SCHEMA = T.StructType([
 def container_metadata_results(clips: DataFrame,
                                dur_tol_ms: int = 2) -> DataFrame:
     """Container-vs-column metadata consistency for self-describing
-    payloads (``codec`` starting with ``wav``): the RIFF header's own
-    sample rate and implied duration must agree with the table's
-    ``sr_hz``/``dur_ms`` columns — a check raw sample-stream codecs
-    cannot express, and the first thing to drift when an ingest job
-    transcodes without rewriting metadata.  HEADER-ONLY parse
-    (:func:`drain3_spark.audio.wav.wav_header`): no sample data is
+    payloads (``codec`` starting with ``wav``, or ``flac``): the
+    container's own sample rate and implied duration must agree with
+    the table's ``sr_hz``/``dur_ms`` columns — a check raw
+    sample-stream codecs cannot express, and the first thing to drift
+    when an ingest job transcodes without rewriting metadata.
+    HEADER-ONLY parse (:func:`drain3_spark.audio.wav.wav_header` /
+    :func:`drain3_spark.audio.flac.flac_header`): no sample data is
     decoded, so the pass is cheap enough to run on every ingest batch
     even when the SNR decode check is sampled."""
     from drain3_spark.shipping import ship_package
     ship_package(clips.sparkSession)
 
-    wav_rows = (clips.filter(F.col("codec").startswith("wav")
+    wav_rows = (clips.filter((F.col("codec").startswith("wav")
+                              | (F.col("codec") == "flac"))
                              & F.col("bytes").isNotNull())
-                .select("clip_id", "ds", "bytes", "sr_hz", "dur_ms"))
+                .select("clip_id", "ds", "bytes", "sr_hz", "dur_ms",
+                        "codec"))
     tol = int(dur_tol_ms)
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.flac import flac_header
         from drain3_spark.audio.wav import wav_header
         for b in batches:
             rows = []
-            for cid, ds, payload, sr, dur in zip(
+            for cid, ds, payload, sr, dur, col_codec in zip(
                     b["clip_id"], b["ds"], b["bytes"], b["sr_hz"],
-                    b["dur_ms"]):
+                    b["dur_ms"], b["codec"]):
                 try:
-                    codec, c_sr, n = wav_header(bytes(payload))
+                    if col_codec == "flac":
+                        c_sr, n = flac_header(bytes(payload))
+                        codec = "flac"
+                    else:
+                        codec, c_sr, n = wav_header(bytes(payload))
                 except Exception:
                     rows.append((cid, ds, None, None, None,
                                  False, False, False))

@@ -508,7 +508,7 @@ def test_q48_audio_codec_matrix_pin(spark):
         st["ok"] += int(s >= SNR_MIN_BY_CODEC.get(codec, 30.0))
         if s != float("inf"):
             st["snrs"].append(round(s, 2))
-        if codec.startswith("wav") and i % 17 == 0:
+        if (codec.startswith("wav") or codec == "flac") and i % 17 == 0:
             st["bad"] += 1
 
     assert set(got) == set(stats) == set(FX.CODEC_MATRIX)
@@ -521,7 +521,8 @@ def test_q48_audio_codec_matrix_pin(spark):
         else:
             assert r.min_snr is None, codec
     # every variant is populated and every healthy clip passes its gate
-    assert all(st["ok"] == st["n"] == 40 for st in stats.values())
+    assert all(st["ok"] == st["n"] for st in stats.values())
+    assert sum(st["n"] for st in stats.values()) == n_total
 
 
 # --------------------------------------------------------------- q49

@@ -142,8 +142,12 @@ def test_container_metadata_check_flags_planted_lies(spark):
     clips = FX.gen_clips_wav(spark, n, sr_mismatch_every=17)
     got = {r.clip_id: r.detail
            for r in container_metadata_violations(clips).collect()}
+    def is_container(i):
+        c = FX.CODEC_MATRIX[i % len(FX.CODEC_MATRIX)]
+        return c.startswith("wav") or c == "flac"
+
     expected = {f"clip-{i:010d}" for i in range(n)
-                if i % 17 == 0 and i % len(FX.CODEC_MATRIX) >= 4}
+                if i % 17 == 0 and is_container(i)}
     assert set(got) == expected
     assert all("container sr_hz=" in d for d in got.values())
 
@@ -167,7 +171,10 @@ def test_engine_validates_wav_corpus_end_to_end(spark):
     by_check = {}
     for r in viol:
         by_check.setdefault(r.check, set()).add(r.clip_id)
+    cm = FX.CODEC_MATRIX
     expected_meta = {f"clip-{i:010d}" for i in range(n)
-                     if i % 17 == 0 and i % len(FX.CODEC_MATRIX) >= 4}
+                     if i % 17 == 0
+                     and (cm[i % len(cm)].startswith("wav")
+                          or cm[i % len(cm)] == "flac")}
     assert by_check.pop(CHECK_CONTAINER_META, set()) == expected_meta
     assert by_check == {}, by_check
