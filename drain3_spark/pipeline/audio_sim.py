@@ -45,6 +45,12 @@ AUDIO_EMBEDDING_SCHEMA = T.StructType([
     # two most energetic mel bands — the spectral-peak blocking keys
     # for near-dup candidate generation (see audio_near_dup_pairs)
     T.StructField("top_bands", T.ArrayType(T.IntegerType())),
+    # random-hyperplane LSH bucket keys, computed INSIDE the same
+    # extract UDF when lsh_bits is given (one matmul per Arrow batch) —
+    # a separate bucket-assignment pandas_udf would chain a THIRD python
+    # worker behind synth+embed in every task (each mapInPandas layer
+    # leases its own worker; measured ~3x task overhead on small tiers)
+    T.StructField("buckets", T.ArrayType(T.LongType())),
 ])
 
 AUDIO_MFCC_SCHEMA = T.StructType([
@@ -165,7 +171,9 @@ def _mel_frames_many(pcms, sr: int, frame_ms: int, hop_ms: int,
 
 def audio_embeddings(clips: DataFrame, n_mels: int = 64,
                      frame_ms: int = 64, hop_ms: int = 32,
-                     f_lo: float = 100.0, f_hi: float = 3500.0) -> DataFrame:
+                     f_lo: float = 100.0, f_hi: float = 3500.0,
+                     lsh_bits: Optional[int] = None, lsh_bands: int = 4,
+                     lsh_seed: int = 7) -> DataFrame:
     """Per-clip spectral embedding: decode -> framed Hann rFFT -> mel
     band powers (LINEAR, per-frame), time-averaged, L2-normalized.
 
@@ -175,7 +183,13 @@ def audio_embeddings(clips: DataFrame, n_mels: int = 64,
     docstring).  ``f_hi`` must sit below the lowest Nyquist in the
     corpus (3500 < 8000/2 for every supported rate) so every clip
     measures the same physical bands.  Undecodable payloads yield a
-    null embedding (the decode CHECK family owns flagging them)."""
+    null embedding (the decode CHECK family owns flagging them).
+
+    ``lsh_bits`` (optional) also fills the ``buckets`` column with
+    ``lsh_bands`` random-hyperplane keys per clip, computed in the SAME
+    UDF pass (one extra matmul per Arrow batch) — the near-dup
+    operators request it so their tasks chain two python workers
+    (synth-like source + this extract), not three."""
     from drain3_spark.shipping import ship_package
     ship_package(clips.sparkSession)
 
@@ -189,12 +203,13 @@ def audio_embeddings(clips: DataFrame, n_mels: int = 64,
                 try:
                     pcm = decode(bytes(payload), codec).astype(np.float64)
                 except Exception:
-                    out[j] = (cid, 0, None, None)
+                    out[j] = (cid, 0, None, None, None)
                     continue
                 if len(pcm) == 0 or not sr:
-                    out[j] = (cid, 0, None, None)
+                    out[j] = (cid, 0, None, None, None)
                     continue
                 by_sr.setdefault(int(sr), []).append((j, cid, pcm))
+            vecs = {}
             for sr, items in by_sr.items():
                 E, counts = _mel_frames_many([p for _, _, p in items], sr,
                                              frame_ms, hop_ms, n_mels,
@@ -206,9 +221,16 @@ def audio_embeddings(clips: DataFrame, n_mels: int = 64,
                     nrm = float(np.linalg.norm(v))
                     if nrm > 0.0:
                         v = v / nrm
+                    vecs[j] = v
                     top = np.argsort(v)[::-1][:2]
                     out[j] = (cid, nf, [float(x) for x in v],
-                              [int(x) for x in top])
+                              [int(x) for x in top], None)
+            if lsh_bits is not None and vecs:
+                idxs = sorted(vecs)
+                B = lsh_bucket_ids(np.vstack([vecs[j] for j in idxs]),
+                                   int(lsh_bits), lsh_bands, lsh_seed)
+                for row_of_B, j in enumerate(idxs):
+                    out[j] = out[j][:4] + (B[row_of_B].tolist(),)
             yield pd.DataFrame(out,
                                columns=[f.name for f in AUDIO_EMBEDDING_SCHEMA])
 
@@ -332,22 +354,28 @@ def audio_lsh_buckets(emb: DataFrame, lsh_bits: int = 16,
     return emb.withColumn("buckets", buckets_udf(F.col("embedding")))
 
 
-def _assigned_buckets(emb: DataFrame, blocking: str, lsh_bits: int,
-                      lsh_bands: int, lsh_seed: int) -> DataFrame:
+def _embed_assigned(clips: DataFrame, blocking: str, n_mels: int,
+                    frame_ms: int, hop_ms: int, f_lo: float, f_hi: float,
+                    lsh_bits: int, lsh_bands: int,
+                    lsh_seed: int) -> DataFrame:
     """(clip_id, bucket:long, vec) — one row per (clip, probe) under
     either blocking scheme, the shared candidate-generation input of
-    the one-shot and incremental audio dedup operators."""
-    if blocking == "peak":
-        return (emb.select("clip_id",
-                           F.explode("top_bands").alias("_band"),
-                           F.col("embedding").alias("vec"))
-                .select("clip_id", F.col("_band").cast("long").alias("bucket"),
-                        "vec"))
-    if blocking != "lsh":
+    the one-shot and incremental audio dedup operators.  The LSH keys
+    come out of the embedding extract itself (see
+    :func:`audio_embeddings`), so the whole assignment is ONE python
+    stage over the payload scan."""
+    if blocking not in ("peak", "lsh"):
         raise ValueError(f"unknown blocking scheme: {blocking!r}")
-    return (audio_lsh_buckets(emb, lsh_bits, lsh_bands, lsh_seed)
-            .select("clip_id", F.explode("buckets").alias("bucket"),
-                    F.col("embedding").alias("vec")))
+    emb = audio_embeddings(clips, n_mels, frame_ms, hop_ms, f_lo, f_hi,
+                           lsh_bits=(lsh_bits if blocking == "lsh" else None),
+                           lsh_bands=lsh_bands, lsh_seed=lsh_seed)
+    emb = emb.filter(F.col("embedding").isNotNull())
+    probe_col = "buckets" if blocking == "lsh" else "top_bands"
+    return (emb.select("clip_id",
+                       F.explode(probe_col).alias("_p"),
+                       F.col("embedding").alias("vec"))
+            .select("clip_id", F.col("_p").cast("long").alias("bucket"),
+                    "vec"))
 
 
 # ------------------------------------------------------------- near-dup
@@ -399,10 +427,9 @@ def audio_near_dup_pairs(clips: DataFrame, threshold: float = 0.999,
     # an embedding-level persist) but two bucket-UDF executions
     from drain3_spark.pipeline.dedup import _SharedScope
     scope = _SharedScope()
-    emb = (audio_embeddings(clips, n_mels, frame_ms, hop_ms, f_lo, f_hi)
-           .filter(F.col("embedding").isNotNull()))
     assigned = scope.share(
-        _assigned_buckets(emb, blocking, lsh_bits, lsh_bands, lsh_seed))
+        _embed_assigned(clips, blocking, n_mels, frame_ms, hop_ms, f_lo,
+                        f_hi, lsh_bits, lsh_bands, lsh_seed))
 
     if method == "blas":
         from drain3_spark.pipeline.similarity import _blas_pairs_by_block
@@ -460,9 +487,8 @@ def audio_embedding_index(clips: DataFrame, n_mels: int = 64,
     corpus.  Unlike the text LSH index, the embedding itself rides in
     the index row, so the verify step needs NO payload fetch-back —
     ~1 KB per clip regardless of clip length."""
-    emb = (audio_embeddings(clips, n_mels, frame_ms, hop_ms, f_lo, f_hi)
-           .filter(F.col("embedding").isNotNull()))
-    return (_assigned_buckets(emb, blocking, lsh_bits, lsh_bands, lsh_seed)
+    return (_embed_assigned(clips, blocking, n_mels, frame_ms, hop_ms,
+                            f_lo, f_hi, lsh_bits, lsh_bands, lsh_seed)
             .select("clip_id", "bucket", F.col("vec").alias("embedding")))
 
 

@@ -49,9 +49,21 @@ class _SharedScope:
     def __init__(self):
         self._frames: List[DataFrame] = []
 
-    def share(self, df: DataFrame) -> DataFrame:
+    def share(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """Persist ``df`` for multi-branch reuse; ``eager`` (default)
+        MATERIALIZES it immediately.  Lazy persist is a trap for shared
+        subtrees: the consuming query's independent downstream stages
+        are submitted concurrently by the DAG scheduler, and each one
+        computes the un-cached shared partitions (block-lock serialized,
+        but every concurrent Arrow stage still spawns its own python
+        workers — measured 3 concurrent 52-task decode stages costing
+        ~60s where the eager one-pass costs ~2s).  One count() here runs
+        the shared work exactly once at full parallelism; every branch
+        then scans cache."""
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         self._frames.append(df)
+        if eager:
+            df.count()
         return df
 
     def release(self) -> None:
@@ -509,6 +521,24 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     und = _truncate(
         edges.unionByName(edges.select(F.col("v").alias("u"),
                                        F.col("u").alias("v"))))
+
+    # right-size the edge list's partitioning for the generations ahead:
+    # `und` inherits the INPUT's partition count (a pair list computed
+    # from a wide corpus scan arrives in dozens of partitions however
+    # few pairs it holds), and the checkpoint freezes that count — every
+    # generation's join then re-scans all those near-empty partitions,
+    # so per-task dispatch overhead times stage count dominates small
+    # graphs (measured: the 651-node q34 graph dragging 64 partitions
+    # through ~10 checkpointed generations swung 4.7s-53s with host
+    # dispatch latency; ~1s right-sized).  The count is free here — und
+    # is already checkpointed — and AQE coalesces the shuffle sides to
+    # match.  At scale the same rule fans OUT: one task per ~50k edges,
+    # capped at 4x cluster parallelism.
+    n_edges = und.count()
+    want = max(1, min((n_edges + 49_999) // 50_000,
+                      spark.sparkContext.defaultParallelism * 4))
+    if und.rdd.getNumPartitions() > 2 * want:
+        und = _truncate(und.repartition(want))
 
     # init: own id min'd with direct neighbors (first propagation free)
     labels = _truncate(und.groupBy("u")

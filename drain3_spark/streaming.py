@@ -305,3 +305,73 @@ def run_streaming(spark: SparkSession,
     if not query.isActive:
         process_batch.flush(spark)
     return StreamingRun(store=store, query=query, processor=process_batch)
+
+
+# ----------------------------------------------- event-time windowed drift
+
+def windowed_category_counts(stream_df: DataFrame,
+                             ts_col: str = "event_ts",
+                             category_col: str = "codec",
+                             window_dur: str = "10 minutes",
+                             watermark: str = "5 minutes") -> DataFrame:
+    """Event-time windowed category frequencies with LATE-DATA handling —
+    the streaming form of the chi-square drift check's contingency
+    input (``checks.codec_histogram``), keyed by tumbling event-time
+    windows instead of the batch ``ds`` partition.
+
+    ``withWatermark(ts_col, watermark)`` bounds the aggregation state:
+    a window finalizes once the watermark (max observed event time
+    minus the delay) passes its end, late rows beyond the delay are
+    DROPPED rather than corrupting closed windows, and in ``append``
+    output mode each window emits exactly once, when it closes — so a
+    downstream drift consumer (``drift.chisq_drift`` over the emitted
+    rows, window standing in for ``ds``) sees immutable finalized
+    histograms.  State size is O(open windows x categories) however
+    long the stream runs — the property that makes this safe on an
+    unbounded 100-TB ingest feed, where an unwatermarked groupBy would
+    accumulate state forever.
+
+    Works on both streaming and batch DataFrames (the batch form is the
+    replay/backfill path — same plan, no state)."""
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window_dur).alias("w"),
+                     F.col(category_col).alias("category"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "category", "n"))
+
+
+def run_windowed_counts(spark: SparkSession,
+                        source_dir: str,
+                        schema,
+                        out_dir: str,
+                        checkpoint_dir: str,
+                        ts_col: str = "event_ts",
+                        category_col: str = "codec",
+                        window_dur: str = "10 minutes",
+                        watermark: str = "5 minutes",
+                        max_files_per_trigger: int = 1,
+                        timeout_sec: float = 600.0):
+    """Drive :func:`windowed_category_counts` over a file-source stream
+    in APPEND mode (finalized windows only) to parquet.  One file per
+    trigger keeps micro-batch arrival order equal to file mtime order,
+    so watermark advancement — and therefore which late rows are
+    dropped — is deterministic for a given directory layout (the same
+    discipline as the q33 stateful-mining stream)."""
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    counts = windowed_category_counts(stream, ts_col, category_col,
+                                      window_dur, watermark)
+    query = (counts.writeStream
+             .outputMode("append")
+             .format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination(timeout_sec)
+    query.stop()
+    return out_dir

@@ -601,3 +601,58 @@ def test_streaming_seen_index_written_without_validation(spark, tmp_path):
     assert [r.clip_id for r in cross] == [dup_id]
     assert cross[0].detail == "first_seen_batch=0"
     clips.unpersist()
+
+
+def test_windowed_counts_drop_late_rows(spark, tmp_path):
+    """Event-time windowed counts under a watermark: closed windows
+    emit exactly once (append mode), a row arriving LATER than the
+    watermark delay is dropped instead of reopening its finalized
+    window, and still-open windows emit nothing."""
+    import os
+    import time as _time
+
+    from drain3_spark.streaming import run_windowed_counts
+
+    src = str(tmp_path / "src")
+    T0 = "2026-08-01 10:"
+
+    def write_file(name, rows, mtime):
+        path = f"{src}/{name}"
+        (spark.createDataFrame(rows, "event_ts timestamp, codec string,"
+                                     " clip_id string")
+         .coalesce(1).write.mode("overwrite").parquet(path))
+        for root, _d, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+
+    import datetime as dt
+
+    def ts(minute, sec=0):
+        return dt.datetime(2026, 8, 1, 10, minute, sec)
+
+    base = _time.time()
+    # batch 1: three on-time rows in [10:00,10:10) + one at 10:21 that
+    # advances the watermark to 10:16, closing the first window
+    write_file("f_1", [(ts(1), "pcm_s16le", "a"),
+                       (ts(4), "pcm_s16le", "b"),
+                       (ts(8), "pcm_s16le", "c"),
+                       (ts(21), "mulaw", "d")], base)
+    # batch 2: a LATE row at 10:05 (< watermark 10:16 -> dropped), two
+    # more in [10:20,10:30), one at 10:40 closing the 10:20 window
+    write_file("f_2", [(ts(5), "pcm_s16le", "LATE"),
+                       (ts(25), "mulaw", "e"),
+                       (ts(25, 30), "mulaw", "f"),
+                       (ts(40), "pcm_s16le", "g")], base + 1)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_windowed_counts(spark, src,
+                        "event_ts timestamp, codec string, clip_id string",
+                        out, ckpt, window_dur="10 minutes",
+                        watermark="5 minutes", max_files_per_trigger=1)
+
+    got = {(r.window_start.minute, r.category): r.n
+           for r in spark.read.parquet(out).collect()}
+    # first window excludes the late row; 10:20 window sums both
+    # batches; the 10:40 window is still open -> absent
+    assert got == {(0, "pcm_s16le"): 3, (20, "mulaw"): 3}, got
