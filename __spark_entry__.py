@@ -735,6 +735,84 @@ def _q49_audio_segments(spark, sf):
             .orderBy("codec"))
 
 
+def _q50_streaming_window(spark, sf):
+    """Event-time windowed codec histograms under a watermark — the
+    streaming form of the drift check's contingency input: clips arrive
+    as mtime-ordered micro-batch files, tumbling 10-minute windows
+    aggregate per codec, the 5-minute watermark bounds state and DROPS
+    the planted late rows (each references a window two batches closed),
+    and append mode emits each finalized window exactly once.
+    Rows-only (streaming has no SQL oracle); the finalized histogram is
+    pinned by test_q50_streaming_window_pin against a local replay of
+    the window arithmetic over the same deterministic event layout."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    import time as _time
+
+    from drain3_spark.streaming import run_windowed_counts
+    from drain3_spark.util import local_df
+
+    work = tempfile.mkdtemp(prefix="q50_")
+    try:
+        base_mt = _time.time() - 60
+        files = q50_event_files()
+        for k, rows in enumerate(files):
+            path = f"{work}/src/f_{k}"
+            (local_df(spark, rows,
+                      "event_ts timestamp, codec string, clip_id string")
+             .coalesce(1).write.mode("overwrite").parquet(path))
+            for root_, _d, fs_ in os.walk(path):
+                for fn in fs_:
+                    os.utime(os.path.join(root_, fn),
+                             (base_mt + k, base_mt + k))
+        run_windowed_counts(
+            spark, f"{work}/src/f_*",
+            "event_ts timestamp, codec string, clip_id string",
+            f"{work}/out", f"{work}/ckpt",
+            window_dur="10 minutes", watermark="5 minutes",
+            max_files_per_trigger=1)
+        got = (spark.read.parquet(f"{work}/out")
+               .orderBy("window_start", "category").collect())
+        return local_df(spark,
+                        [(r.window_start.isoformat(), r.category, r.n)
+                         for r in got],
+                        "window_start string, category string, n long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q50_event_files():
+    """Deterministic event layout for q50: file k (k < 4) carries
+    minutes [15k, 15k+12) — strictly increasing max event time per
+    batch, so the watermark advances every batch.  Files 3 and 4 each
+    plant one LATE row at minute 1: by batch 3 the effective watermark
+    is at least batch 1's max (minute 26) minus the 5-minute delay =
+    minute 21, so the [minute 0, 10) window is closed under ANY
+    watermark-update lag and the rows must be dropped.  The final
+    sentinel file far in the future flushes every real window (its own
+    window stays open and must not appear).  Pure function, shared with
+    the pin test's local replay."""
+    import datetime as dt
+
+    def ts(minute):
+        return dt.datetime(2026, 8, 1, 9 + minute // 60, minute % 60)
+
+    codecs = ("pcm_s16le", "mulaw", "alaw")
+    files = []
+    for k in range(4):
+        rows = []
+        for j in range(12):
+            m = 15 * k + j
+            rows.append((ts(m), codecs[(k + j) % 3], f"ev-{k}-{j}"))
+        if k == 3:
+            rows.append((ts(1), "pcm_s16le", "late-3"))
+        files.append(rows)
+    files.append([(ts(600), "pcm_s16le", "sentinel"),
+                  (ts(1), "pcm_s16le", "late-4")])
+    return files
+
+
 def _q43_image_formats(spark, sf):
     """The full native image-container matrix through ONE plumbing
     path: a corpus cycling PPM / BMP / PNG / baseline JPEG / GIF /
@@ -902,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_audio_quality": _q47_audio_quality,
         "q48_audio_codec_matrix": _q48_audio_codec_matrix,
         "q49_audio_segments": _q49_audio_segments,
+        "q50_streaming_window": _q50_streaming_window,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,

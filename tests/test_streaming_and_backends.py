@@ -628,31 +628,42 @@ def test_windowed_counts_drop_late_rows(spark, tmp_path):
     import datetime as dt
 
     def ts(minute, sec=0):
-        return dt.datetime(2026, 8, 1, 10, minute, sec)
+        return dt.datetime(2026, 8, 1, 10 + minute // 60, minute % 60, sec)
 
-    base = _time.time()
-    # batch 1: three on-time rows in [10:00,10:10) + one at 10:21 that
-    # advances the watermark to 10:16, closing the first window
+    base = _time.time() - 60
+    # batch 1: three on-time rows in [10:00,10:10) + one at 10:21.
+    # The watermark advances one batch behind the data (it is updated
+    # at batch commit from that batch's max event time), so the first
+    # window closes and is emitted during batch 2.
     write_file("f_1", [(ts(1), "pcm_s16le", "a"),
                        (ts(4), "pcm_s16le", "b"),
                        (ts(8), "pcm_s16le", "c"),
                        (ts(21), "mulaw", "d")], base)
-    # batch 2: a LATE row at 10:05 (< watermark 10:16 -> dropped), two
-    # more in [10:20,10:30), one at 10:40 closing the 10:20 window
-    write_file("f_2", [(ts(5), "pcm_s16le", "LATE"),
-                       (ts(25), "mulaw", "e"),
-                       (ts(25, 30), "mulaw", "f"),
-                       (ts(40), "pcm_s16le", "g")], base + 1)
+    # batch 2: two on-time rows in [10:20,10:30)
+    write_file("f_2", [(ts(25), "mulaw", "e"),
+                       (ts(25, 30), "mulaw", "f")], base + 1)
+    # batch 3: a LATE row at 10:05 — the effective watermark is now at
+    # least 10:16 (batch 1's max minus the 5-minute delay), its window
+    # is closed and already emitted, so the row must be DROPPED — plus
+    # a row at 10:50 advancing the watermark further
+    write_file("f_3", [(ts(5), "pcm_s16le", "LATE"),
+                       (ts(50), "pcm_s16le", "g")], base + 2)
+    # batch 4: one row at 11:10 pushes the watermark past 11:00 so the
+    # [10:20,10:30) and [10:50,11:00) windows flush; its own window is
+    # still open when the stream drains
+    write_file("f_4", [(ts(70), "pcm_s16le", "h")], base + 3)
 
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    run_windowed_counts(spark, src,
+    run_windowed_counts(spark, f"{src}/f_*",
                         "event_ts timestamp, codec string, clip_id string",
                         out, ckpt, window_dur="10 minutes",
                         watermark="5 minutes", max_files_per_trigger=1)
 
     got = {(r.window_start.minute, r.category): r.n
            for r in spark.read.parquet(out).collect()}
-    # first window excludes the late row; 10:20 window sums both
-    # batches; the 10:40 window is still open -> absent
-    assert got == {(0, "pcm_s16le"): 3, (20, "mulaw"): 3}, got
+    # first window excludes the late row; the 10:20 window holds both
+    # batch-2 rows plus batch-1's 10:21 row; 11:10's window is still
+    # open when the stream drains, so it is absent
+    assert got == {(0, "pcm_s16le"): 3, (20, "mulaw"): 3,
+                   (50, "pcm_s16le"): 1}, got

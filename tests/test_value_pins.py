@@ -571,3 +571,29 @@ def test_q49_audio_segments_pin(spark):
         assert (r.n_clips, r.n_segments, r.total_seg_ms, r.total_bytes,
                 r.max_seg_idx) == (len(st["clips"]), st["n"], st["ms"],
                                    st["bytes"], st["max_k"]), codec
+
+
+# --------------------------------------------------------------- q50
+
+def test_q50_streaming_window_pin(spark):
+    """Finalized streaming windows == a local replay of the tumbling
+    window arithmetic over the same deterministic event layout: late
+    rows excluded, the still-open sentinel window absent, every
+    finalized (window, codec) count exact."""
+    from collections import Counter
+
+    got = {(r.window_start, r.category): r.n
+           for r in entry.queries()["q50_streaming_window"](spark, SF)
+           .collect()}
+
+    expected = Counter()
+    for rows in entry.q50_event_files():
+        for ts, codec, cid in rows:
+            if cid.startswith(("late-", "sentinel")):
+                continue  # late rows are dropped; sentinel stays open
+            w = ts.replace(minute=ts.minute // 10 * 10, second=0)
+            expected[(w.isoformat(), codec)] += 1
+
+    assert got == dict(expected), (got, expected)
+    # the layout really does exercise the two behaviors it claims
+    assert sum(expected.values()) == 48  # 4 files x 12 on-time rows
