@@ -813,6 +813,29 @@ def q50_event_files():
     return files
 
 
+def _q51_pii_scrub(spark, sf):
+    """Corpus-wide PII redaction over documents.text (the masking
+    chain's pipeline form — emails, IPv4, long digit runs each replaced
+    by a typed token) aggregated per source: exposure counts per PII
+    type, how many docs changed, and the masked corpus length — all
+    pure Catalyst regexp_replace/rlike (oracle: DuckDB replays the
+    identical RE2-safe patterns)."""
+    from drain3_spark.pipeline.text import pii_scrub
+    d = _t(spark, sf, "documents")
+    masked, flags = pii_scrub(F.col("text"))
+    t = d.select("source", "text", masked.alias("masked"),
+                 flags.alias("f"))
+    return (t.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("f.has_email").cast("long")).alias("n_email"),
+                 F.sum(F.col("f.has_ip").cast("long")).alias("n_ip"),
+                 F.sum(F.col("f.has_id").cast("long")).alias("n_id"),
+                 F.sum((F.col("masked") != F.col("text")).cast("long"))
+                 .alias("n_changed"),
+                 F.sum(F.length("masked")).alias("masked_len"))
+            .orderBy("source"))
+
+
 def _q43_image_formats(spark, sf):
     """The full native image-container matrix through ONE plumbing
     path: a corpus cycling PPM / BMP / PNG / baseline JPEG / GIF /
@@ -981,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_audio_codec_matrix": _q48_audio_codec_matrix,
         "q49_audio_segments": _q49_audio_segments,
         "q50_streaming_window": _q50_streaming_window,
+        "q51_pii_scrub": _q51_pii_scrub,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,
@@ -1137,6 +1161,26 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, md5({_NORM}) as fp_md5,
                    ('0x' || substr(md5({_NORM}), 1, 15))::bigint as fp64
             from documents""",
+        "q51_pii_scrub": """
+            with t as (
+              select source, text,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+                  '\\b\\d{5,}\\b', '<ID>', 'g') as masked,
+                regexp_matches(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') as has_email,
+                regexp_matches(text,
+                  '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}') as has_ip,
+                regexp_matches(text, '\\b\\d{5,}\\b') as has_id
+              from documents)
+            select source, count(*) as n_docs,
+                   sum(case when has_email then 1 else 0 end) as n_email,
+                   sum(case when has_ip then 1 else 0 end) as n_ip,
+                   sum(case when has_id then 1 else 0 end) as n_id,
+                   sum(case when masked != text then 1 else 0 end) as n_changed,
+                   sum(length(masked)) as masked_len
+            from t group by source order by source""",
         "q19_text_quality": f"""
             with t as (
               select source, {quality} as q,

@@ -90,3 +90,36 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("lang_pred", lang_id(t))
             .withColumn("quality", quality_score(t))
             .withColumn("fingerprint", fingerprint_md5(t)))
+
+
+# ------------------------------------------------------------- PII scrub
+
+# (name, pattern, replacement) — ordered; patterns are written in the
+# common subset of Java regex (Spark) and RE2 (DuckDB) so the SQL
+# oracle replays them verbatim: character classes, bounded repetition,
+# alternation — no lookarounds, no backreferences.
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("id", r"\b\d{5,}\b", "<ID>"),
+)
+
+
+def pii_scrub(text: Column):
+    """``(masked, flags)`` — the PII-redaction pass of a training-data
+    pipeline, as a fold of Catalyst ``regexp_replace`` calls (the same
+    shape as the miner's masking chain, applied corpus-wide): emails,
+    IPv4 addresses, and long digit runs (ids/phone-ish) each replaced
+    by a typed mask token.  ``flags`` is a struct of per-rule booleans
+    (did the ORIGINAL text contain that PII type) so the consumer can
+    count exposure without diffing strings.  Rules are ordered — email
+    first, so its digits are gone before the id rule looks.
+
+    100-TB shape: pure JVM expressions inside whole-stage codegen; no
+    shuffle, no Python; predicate/column pruning untouched."""
+    masked = text
+    flags = []
+    for name, pattern, repl in PII_RULES:
+        flags.append(text.rlike(pattern).alias(f"has_{name}"))
+        masked = F.regexp_replace(masked, pattern, repl)
+    return masked, F.struct(*flags)

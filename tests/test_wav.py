@@ -178,3 +178,22 @@ def test_engine_validates_wav_corpus_end_to_end(spark):
                           or cm[i % len(cm)] == "flac")}
     assert by_check.pop(CHECK_CONTAINER_META, set()) == expected_meta
     assert by_check == {}, by_check
+
+
+def test_container_check_pushes_codec_filter(spark, tmp_path):
+    """The container-metadata check's codec predicate must reach the
+    parquet scan (PushedFilters): at 100 TB with a few percent
+    container-codec rows, row-group codec statistics skip most of the
+    corpus before any payload byte is read."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.validation.audio import container_metadata_results
+
+    path = str(tmp_path / "clips")
+    FX.write_clips(FX.gen_clips_wav(spark, 60, partitions=2), path)
+    clips = spark.read.parquet(path)
+    plan = (container_metadata_results(clips)
+            ._jdf.queryExecution().executedPlan().toString())
+    scan = next(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    pushed = scan.split("PushedFilters:")[1]
+    assert "StringStartsWith(codec,wav)" in pushed.replace(" ", ""), scan
+    assert "IsNotNull(bytes)" in pushed.replace(" ", ""), scan
