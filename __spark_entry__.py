@@ -836,6 +836,31 @@ def _q51_pii_scrub(spark, sf):
             .orderBy("source"))
 
 
+def _q52_spec_augment(spark, sf):
+    """SpecAugment training features over the clean corpus: per-clip
+    log-mel frame matrices with deterministic seeded time/frequency
+    masks, aggregated per codec (mask geometry is a pure function of
+    (clip_id, seed), so test_q52_spec_augment_pin replays every clip
+    locally and matches the matrices cell-for-cell).  Rows-only
+    (FFT-derived features have no SQL oracle)."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_sim import spec_augment
+    clips = FX.gen_clips(spark, 150, dirty=False, dur_lo=250, dur_hi=600,
+                         partitions=8)
+    a = spec_augment(clips, seed=17)
+    codec_map = clips.select("clip_id", "codec")
+    return (a.join(codec_map, "clip_id")
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.sum("n_frames").alias("total_frames"),
+                 F.sum("n_time_masked").alias("t_masked"),
+                 F.sum("n_freq_masked").alias("f_masked"),
+                 F.round(F.sum(F.aggregate(
+                     F.flatten("features"), F.lit(0.0),
+                     lambda acc, x: acc + F.abs(x))), 2).alias("feat_l1"))
+            .orderBy("codec"))
+
+
 def _q43_image_formats(spark, sf):
     """The full native image-container matrix through ONE plumbing
     path: a corpus cycling PPM / BMP / PNG / baseline JPEG / GIF /
@@ -1005,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_audio_segments": _q49_audio_segments,
         "q50_streaming_window": _q50_streaming_window,
         "q51_pii_scrub": _q51_pii_scrub,
+        "q52_spec_augment": _q52_spec_augment,
         "q24_audio_validation": _q24_audio_validation,
         "q25_audio_features": _q25_audio_features,
         "q31_image_features": _q31_image_features,

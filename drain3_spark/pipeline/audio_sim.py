@@ -818,3 +818,105 @@ def trim_silence(clips: DataFrame, frame_ms: int = 20,
 
     return (clips.select("clip_id", "bytes", "sr_hz", "codec")
             .mapInPandas(trim, TRIMMED_SCHEMA))
+
+
+# ----------------------------------------------------------- spec augment
+
+SPEC_AUGMENT_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("n_time_masked", T.IntegerType()),
+    T.StructField("n_freq_masked", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.ArrayType(T.DoubleType()))),
+])
+
+
+def _augment_geometry(clip_id: str, seed: int, n_frames: int, n_mels: int,
+                      n_time_masks: int, max_time_frames: int,
+                      n_freq_masks: int, max_freq_bands: int):
+    """Deterministic SpecAugment mask geometry: an integer keystream
+    from sha1(clip_id|seed) picks each mask's width and start, so any
+    local replay (tests, a feature-store backfill, a debug notebook)
+    regenerates the identical augmented features."""
+    import hashlib
+    h = hashlib.sha1(f"{clip_id}|{seed}".encode()).digest()
+    stream = []
+    k = 0
+    while len(stream) < 4 * (n_time_masks + n_freq_masks):
+        h2 = hashlib.sha1(h + k.to_bytes(2, "big")).digest()
+        stream.extend(h2[i] | (h2[i + 1] << 8) for i in range(0, 18, 2))
+        k += 1
+    it = iter(stream)
+    t_masks, f_masks = [], []
+    for _ in range(n_time_masks):
+        w = next(it) % (max_time_frames + 1)
+        s = next(it) % max(n_frames - w, 1)
+        t_masks.append((s, w))
+    for _ in range(n_freq_masks):
+        w = next(it) % (max_freq_bands + 1)
+        s = next(it) % max(n_mels - w, 1)
+        f_masks.append((s, w))
+    return t_masks, f_masks
+
+
+def spec_augment(clips: DataFrame, n_mels: int = 64, frame_ms: int = 64,
+                 hop_ms: int = 32, f_lo: float = 100.0,
+                 f_hi: float = 3500.0, n_time_masks: int = 2,
+                 max_time_frames: int = 10, n_freq_masks: int = 2,
+                 max_freq_bands: int = 8, seed: int = 17) -> DataFrame:
+    """SpecAugment over the corpus: per clip, the log-mel FRAME MATRIX
+    (the training feature, not the time-averaged embedding) with
+    ``n_time_masks`` frame-range masks and ``n_freq_masks`` band-range
+    masks zeroed — the standard audio training augmentation, computed
+    where the data lives instead of in the training loader.  Masks are
+    a pure function of (clip_id, seed) (:func:`_augment_geometry`), so
+    the pipeline is REPLAYABLE: the same clip always yields the same
+    augmented features, and epoch k simply passes ``seed=k``.
+
+    100-TB shape: one decode + one batched rFFT pass per clip inside
+    the same Arrow UDF (shared `_mel_frames_many` kernel), no shuffle;
+    output is written straight to the feature store.  Undecodable
+    payloads are dropped (the decode CHECK family owns them)."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
+
+    def aug(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.codecs import decode
+        for b in batches:
+            out = []
+            by_sr: Dict[int, list] = {}
+            for cid, payload, sr, codec in zip(b["clip_id"], b["bytes"],
+                                               b["sr_hz"], b["codec"]):
+                try:
+                    pcm = decode(bytes(payload), codec).astype(np.float64)
+                except Exception:
+                    continue
+                if len(pcm) == 0 or not sr:
+                    continue
+                by_sr.setdefault(int(sr), []).append((cid, pcm))
+            for sr, items in by_sr.items():
+                E, counts = _mel_frames_many([p for _, p in items], sr,
+                                             frame_ms, hop_ms, n_mels,
+                                             f_lo, f_hi)
+                L = np.log(E + 1e-12)
+                pos = 0
+                for (cid, _), nf in zip(items, counts):
+                    M = L[pos:pos + nf].copy()
+                    pos += nf
+                    t_masks, f_masks = _augment_geometry(
+                        cid, seed, nf, n_mels, n_time_masks,
+                        max_time_frames, n_freq_masks, max_freq_bands)
+                    tm = fm = 0
+                    for s, w in t_masks:
+                        M[s:s + w, :] = 0.0
+                        tm += min(w, max(nf - s, 0))
+                    for s, w in f_masks:
+                        M[:, s:s + w] = 0.0
+                        fm += min(w, max(n_mels - s, 0))
+                    out.append((cid, nf, tm, fm,
+                                [[float(x) for x in row] for row in M]))
+            yield pd.DataFrame(out,
+                               columns=[f.name for f in SPEC_AUGMENT_SCHEMA])
+
+    return (clips.select("clip_id", "bytes", "sr_hz", "codec")
+            .mapInPandas(aug, SPEC_AUGMENT_SCHEMA))

@@ -479,3 +479,42 @@ def test_segment_clips_short_and_undecodable(spark):
     ids = {r.clip_id for r in got}
     assert ids == {"ok"}          # short: below min_tail; junk: dropped
     assert sorted(r.seg_idx for r in got) == [0, 1, 2]  # 0-500,400-900,800-1000
+
+
+def test_spec_augment_matches_local_replay(spark):
+    """Spark SpecAugment == a cell-for-cell local replay: same decode,
+    same mel kernel, same seeded mask geometry; masked rows/columns are
+    exactly zero and re-running with another seed moves the masks."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.audio.codecs import decode, encode
+    from drain3_spark.audio.synth import reference_pcm
+    from drain3_spark.pipeline.audio_sim import (_augment_geometry,
+                                                 _mel_frames, spec_augment)
+
+    clips = FX.gen_clips(spark, 12, dur_lo=250, dur_hi=500, partitions=2)
+    rows = {r.clip_id: r for r in spec_augment(clips, seed=17).collect()}
+    assert len(rows) == 12
+
+    for i in range(12):
+        m = FX.row_meta(i, dur_lo=250, dur_hi=500)
+        cid = m["clip_id"]
+        pcm = decode(encode(reference_pcm(cid, m["sr_hz"], m["dur_ms"]),
+                            m["codec"]), m["codec"]).astype(np.float64)
+        E = _mel_frames(pcm, m["sr_hz"], 64, 32, 64, 100.0, 3500.0)
+        L = np.log(E + 1e-12)
+        t_masks, f_masks = _augment_geometry(cid, 17, len(L), 64, 2, 10, 2, 8)
+        for s, w in t_masks:
+            L[s:s + w, :] = 0.0
+        for s, w in f_masks:
+            L[:, s:s + w] = 0.0
+        got = np.array(rows[cid].features)
+        assert got.shape == L.shape
+        assert np.allclose(got, L, atol=1e-9), cid
+        # masked regions are exactly zero
+        for s, w in f_masks:
+            assert not got[:, s:s + w].any() or w == 0
+    # a different seed produces different masks somewhere in the corpus
+    rows31 = {r.clip_id: r for r in spec_augment(clips, seed=31).collect()}
+    assert any(not np.allclose(np.array(rows31[c].features),
+                               np.array(rows[c].features))
+               for c in rows)

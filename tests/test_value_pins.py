@@ -597,3 +597,55 @@ def test_q50_streaming_window_pin(spark):
     assert got == dict(expected), (got, expected)
     # the layout really does exercise the two behaviors it claims
     assert sum(expected.values()) == 48  # 4 files x 12 on-time rows
+
+
+# --------------------------------------------------------------- q52
+
+def test_q52_spec_augment_pin(spark):
+    """Per-codec SpecAugment aggregates == an independent local replay
+    of decode -> log-mel -> seeded masks over every clip."""
+    from collections import defaultdict
+
+    from drain3_spark.audio.codecs import decode, encode
+    from drain3_spark.audio.synth import reference_pcm
+    from drain3_spark.pipeline.audio_sim import (_augment_geometry,
+                                                 _mel_frames)
+
+    got = {r.codec: r for r in
+           entry.queries()["q52_spec_augment"](spark, SF).collect()}
+
+    stats = defaultdict(lambda: {"n": 0, "frames": 0, "t": 0, "f": 0,
+                                 "l1": 0.0})
+    for i in range(150):
+        m = FX.row_meta(i, dur_lo=250, dur_hi=600)
+        pcm = decode(encode(reference_pcm(m["clip_id"], m["sr_hz"],
+                                          m["dur_ms"]), m["codec"]),
+                     m["codec"]).astype(np.float64)
+        E = _mel_frames(pcm, m["sr_hz"], 64, 32, 64, 100.0, 3500.0)
+        L = np.log(E + 1e-12)
+        nf = len(L)
+        t_masks, f_masks = _augment_geometry(m["clip_id"], 17, nf, 64,
+                                             2, 10, 2, 8)
+        tm = fm = 0
+        for s, w in t_masks:
+            L[s:s + w, :] = 0.0
+            tm += min(w, max(nf - s, 0))
+        for s, w in f_masks:
+            L[:, s:s + w] = 0.0
+            fm += min(w, max(64 - s, 0))
+        st = stats[m["codec"]]
+        st["n"] += 1
+        st["frames"] += nf
+        st["t"] += tm
+        st["f"] += fm
+        st["l1"] += float(np.abs(L).sum())
+
+    assert set(got) == set(stats)
+    for codec, st in stats.items():
+        r = got[codec]
+        assert (r.n_clips, r.total_frames, r.t_masked, r.f_masked) == \
+            (st["n"], st["frames"], st["t"], st["f"]), codec
+        # float reduction order differs (Arrow batches vs local loop);
+        # compare at a tolerance far above pocketfft noise, far below
+        # one masked cell's contribution
+        assert abs(r.feat_l1 - st["l1"]) < 0.01 * max(st["l1"], 1.0), codec
