@@ -103,7 +103,8 @@ def main() -> None:
                 "q42_audio_incremental", "q43_image_formats",
                 "q44_audio_dedup_groups", "q45_audio_pipeline",
                 "q46_audio_fingerprint", "q47_audio_quality",
-                "q48_audio_codec_matrix", "q49_audio_segments"]
+                "q48_audio_codec_matrix", "q49_audio_segments",
+                "q51_pii_scrub", "q52_spec_augment"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

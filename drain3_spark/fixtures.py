@@ -38,6 +38,7 @@ CHECK_SR_DOMAIN = "sr_domain"
 CHECK_AUDIO_DECODE = "audio_decode"
 CHECK_TRANSCRIPT_EQ = "transcript_equality"
 CHECK_CONTAINER_META = "container_metadata"
+CHECK_SPEECH_RATE = "speech_rate"
 
 DUR_OUT_OF_RANGE = 10_000_000
 SR_ILLEGAL = 12345

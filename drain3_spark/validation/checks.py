@@ -56,6 +56,29 @@ def row_local_violations(clips: DataFrame,
             .select("v.*"))
 
 
+def speech_rate_violations(clips: DataFrame,
+                           rate_bounds: Tuple[float, float]) -> DataFrame:
+    """Transcript-vs-duration consistency: characters per second of
+    audio outside ``rate_bounds`` flags a mismatched pair (a transcript
+    pasted onto the wrong clip, or a truncated/padded payload whose
+    dur_ms no longer matches its words — defects the per-column checks
+    cannot see because each column is individually healthy).  Human
+    speech runs ~8-25 chars/sec; machine-read corpora trend higher.
+    One narrow pass, no shuffle, transcript+dur_ms columns only."""
+    from drain3_spark.fixtures import CHECK_SPEECH_RATE
+    lo, hi = float(rate_bounds[0]), float(rate_bounds[1])
+    rate = (F.length("transcript") * 1000.0
+            / F.greatest(F.col("dur_ms"), F.lit(1)))
+    bad = (F.col("transcript").isNotNull() & (F.col("dur_ms") > 0)
+           & ((rate < lo) | (rate > hi)))
+    return (clips.filter(bad)
+            .select(F.col("clip_id"), F.col("ds"),
+                    F.lit(CHECK_SPEECH_RATE).alias("check"),
+                    F.concat(F.lit("chars_per_sec="),
+                             F.round(rate, 2).cast("string"),
+                             F.lit(f" outside [{lo}, {hi}]")).alias("detail")))
+
+
 def uniqueness_violations(clips: DataFrame, key: str = "clip_id") -> DataFrame:
     """Duplicate-key rows via one hash aggregation
     (reference precedent: unique sequential cluster ids,

@@ -59,6 +59,11 @@ class ValidationConfig:
     # (wav*) payloads — header-only parse, no sample decode; a no-op
     # scan on corpora with no container codecs
     check_container_meta: bool = True
+    # transcript-vs-duration consistency: chars/sec outside these bounds
+    # flags a mismatched pair.  None (default) disables the check — the
+    # bound is corpus-specific (read speech vs spontaneous vs machine),
+    # so the engine never guesses one
+    speech_rate_bounds: Optional[Tuple[float, float]] = None
     # drift-cube duration bucketing: the cube is COLLECTED to the
     # driver, so its dur axis must stay bounded however wide the data's
     # duration domain grows.  None = auto width
@@ -103,6 +108,9 @@ class ValidationEngine:
         python memory bounded per stage."""
         cfg = self.cfg
         v = C.row_local_violations(clips, cfg.dur_bounds, cfg.sr_domain)
+        if cfg.speech_rate_bounds is not None:
+            v = v.unionByName(
+                C.speech_rate_violations(clips, cfg.speech_rate_bounds))
         v = v.unionByName(C.uniqueness_violations(clips))
         if transcripts_ref is not None:
             v = v.unionByName(C.referential_and_equality_violations(

@@ -209,3 +209,38 @@ def test_drift_cube_exact_escape_hatch(spark, dirty_tables):
     assert ks["2026-08-07"] is False
     assert all(p for ds, p in ks.items() if ds != "2026-08-07")
     report.violations.unpersist()
+
+
+def test_speech_rate_check(spark):
+    """Opt-in transcript-vs-duration consistency: a transcript far too
+    long (or short) for its audio duration is flagged; healthy pairs
+    and disabled-config runs are untouched."""
+    from drain3_spark.fixtures import CHECK_SPEECH_RATE
+    from drain3_spark.validation.runner import (ValidationConfig,
+                                                ValidationEngine)
+
+    rows = [
+        # 20 chars over 2s = 10 chars/sec — healthy
+        ("ok", bytearray(b""), 16000, 2000, "pcm_s16le", "x" * 20, "d1"),
+        # 400 chars over 1s = 400 chars/sec — transcript from elsewhere
+        ("fast", bytearray(b""), 16000, 1000, "pcm_s16le", "y" * 400, "d1"),
+        # 2 chars over 4s = 0.5 chars/sec — truncated transcript
+        ("slow", bytearray(b""), 16000, 4000, "pcm_s16le", "zz", "d1"),
+    ]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string, ds string")
+    clips = spark.createDataFrame(rows, schema)
+
+    eng = ValidationEngine(ValidationConfig(
+        with_audio=False, with_drift=False, speech_rate_bounds=(2.0, 60.0)))
+    viol = eng.violations(clips, materialize=False)
+    got = {r.clip_id: r.detail for r in
+           viol.filter(viol.check == CHECK_SPEECH_RATE).collect()}
+    assert set(got) == {"fast", "slow"}
+    assert "chars_per_sec=400.0" in got["fast"]
+
+    # default config: the check never runs
+    eng0 = ValidationEngine(ValidationConfig(with_audio=False,
+                                             with_drift=False))
+    v0 = eng0.violations(clips, materialize=False)
+    assert v0.filter(v0.check == CHECK_SPEECH_RATE).count() == 0
