@@ -645,9 +645,10 @@ def _q46_audio_fingerprint(spark, sf):
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.audio_fp import (audio_fingerprints,
                                                 fingerprint_matches)
-    idx = audio_fingerprints(FX.gen_clips_melody(spark, 240))
+    idx = audio_fingerprints(FX.gen_clips_melody(spark, 240, partitions=8))
     qfp = audio_fingerprints(
-        FX.gen_fp_queries(spark, 240, every=10, n_negatives=8))
+        FX.gen_fp_queries(spark, 240, every=10, n_negatives=8,
+                          partitions=8))
     return (fingerprint_matches(qfp, idx)
             .select("query_id", "match_id", "votes", "q_hashes",
                     "vote_frac", "offset_frames")

@@ -920,3 +920,37 @@ def spec_augment(clips: DataFrame, n_mels: int = 64, frame_ms: int = 64,
 
     return (clips.select("clip_id", "bytes", "sr_hz", "codec")
             .mapInPandas(aug, SPEC_AUGMENT_SCHEMA))
+
+
+def transcode_clips(clips: DataFrame, target_codec: str) -> DataFrame:
+    """Re-encode every clip into ``target_codec`` (raw codec or
+    self-describing container — anything :mod:`drain3_spark.audio.codecs`
+    can encode): the normalization pass that gives a mixed-codec corpus
+    one storage format before training.  Clips already in the target
+    codec pass through byte-identical; undecodable payloads are dropped
+    (the decode CHECK family owns flagging them).  Same payload-columns
+    contract and one-decode-per-clip shape as :func:`resample_clips`."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
+    tgt = str(target_codec)
+
+    def tc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.codecs import decode, encode
+        for b in batches:
+            out = []
+            for cid, payload, sr, dur, codec in zip(
+                    b["clip_id"], b["bytes"], b["sr_hz"], b["dur_ms"],
+                    b["codec"]):
+                if codec == tgt:
+                    out.append((cid, payload, int(sr), int(dur), codec))
+                    continue
+                try:
+                    pcm = decode(bytes(payload), codec).astype(np.float32)
+                except Exception:
+                    continue
+                out.append((cid, bytearray(encode(pcm, tgt, int(sr))),
+                            int(sr), int(dur), tgt))
+            yield pd.DataFrame(out, columns=[f.name for f in RESAMPLED_SCHEMA])
+
+    return (clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
+            .mapInPandas(tc, RESAMPLED_SCHEMA))

