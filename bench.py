@@ -88,7 +88,9 @@ def main() -> None:
         return out
 
     # ---- headline operator queries over the driver testdata ----
-    qs = entry.queries()
+    # graded queries + bench-only retirees (q25/q30/q41 left queries()
+    # for the driver's 50-row cap but keep their perf series here)
+    qs = dict(entry.queries(), **entry.extra_bench_queries())
     # q6/q26 measure mining (drain / jaccard); q7/q29 reuse the memoized
     # cluster table, so they measure bulk INFERENCE — the split the two
     # pairs are meant to benchmark
@@ -104,7 +106,7 @@ def main() -> None:
                 "q44_audio_dedup_groups", "q45_audio_pipeline",
                 "q46_audio_fingerprint", "q47_audio_quality",
                 "q48_audio_codec_matrix", "q49_audio_segments",
-                "q51_pii_scrub", "q52_spec_augment"]
+                "q51_pii_scrub", "q52_spec_augment", "q53_speech_rate"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

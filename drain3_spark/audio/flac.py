@@ -9,7 +9,10 @@ self-describing LOSSLESS container next to WAV:
   frame numbers, CRC-8), subframe decode for ALL four subframe types
   (constant, verbatim, fixed-predictor orders 0-4, LPC up to order 32)
   with wasted-bits, 4- and 5-bit Rice partitions and the escaped
-  raw-bits partition form; returns ``(pcm_float32, sr_hz)``.
+  raw-bits partition form; returns ``(pcm_float32, sr_hz)``.  Output
+  is scaled by the stream's ACTUAL bit depth (full scale
+  ``2^(bits-1)-1``), so external 8/24-bit mono streams decode at the
+  correct amplitude; our encoder writes the 16-bit subset.
 * :func:`encode_flac` — our own encoder (fixed predictors 0-2, one
   Rice partition per subframe, correct CRC-8/CRC-16), so every decoder
   feature in the encode path round-trips BIT-EXACTLY (lossless codec:
@@ -73,6 +76,19 @@ class _BitReader:
         self._bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
         self._ones = np.flatnonzero(self._bits)  # positions of 1-bits
         self.pos = 0
+
+    @classmethod
+    def over(cls, bits: np.ndarray, ones: np.ndarray,
+             bitpos: int) -> "_BitReader":
+        """Reader over a PRE-UNPACKED bit array starting at an absolute
+        bit offset — lets the frame loop unpack the stream once instead
+        of re-running np.unpackbits over the remaining buffer per frame
+        (which made decode O(frames x stream_bits))."""
+        r = cls.__new__(cls)
+        r._bits = bits
+        r._ones = ones
+        r.pos = bitpos
+        return r
 
     def read(self, n: int) -> int:
         if n == 0:
@@ -292,6 +308,11 @@ def decode_flac(payload: bytes) -> Tuple[np.ndarray, int]:
             break
     out = []
     got = 0
+    # one unpack for the whole stream; per-frame readers are views over
+    # it at absolute bit offsets (O(stream_bits) total, not per frame)
+    bits_arr = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    ones_arr = np.flatnonzero(bits_arr)
+    stream_bits = None
     while pos + 5 <= len(buf) and got < total:
         if buf[pos] != 0xFF or (buf[pos + 1] & 0xFC) != 0xF8:
             raise ValueError("flac: lost frame sync")
@@ -305,6 +326,10 @@ def decode_flac(payload: bytes) -> Tuple[np.ndarray, int]:
         bits = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
         if bits is None:
             raise ValueError("flac: sample size from STREAMINFO unsupported")
+        if stream_bits is None:
+            stream_bits = bits
+        elif bits != stream_bits:
+            raise ValueError("flac: sample size changed mid-stream")
         pos += 4
         _, pos = _read_utf8_coded(buf, pos)
         if bs_code == 6:
@@ -329,7 +354,7 @@ def decode_flac(payload: bytes) -> Tuple[np.ndarray, int]:
             raise ValueError("flac: frame header CRC mismatch")
         pos += 1
 
-        r = _BitReader(buf[pos:])
+        r = _BitReader.over(bits_arr, ones_arr, pos * 8)
         if r.read(1) != 0:
             raise ValueError("flac: bad subframe pad bit")
         stype = r.read(6)
@@ -373,7 +398,7 @@ def decode_flac(payload: bytes) -> Tuple[np.ndarray, int]:
         if wasted:
             samples <<= wasted
         r.align()
-        pos += r.pos // 8
+        pos = r.pos // 8
         if struct.unpack(">H", buf[pos:pos + 2])[0] != _crc16(buf[hpos:pos]):
             raise ValueError("flac: frame CRC mismatch")
         pos += 2
@@ -381,7 +406,10 @@ def decode_flac(payload: bytes) -> Tuple[np.ndarray, int]:
         got += bs
     pcm = (np.concatenate(out)[:total] if out
            else np.zeros(0, dtype=np.int64))
-    return (pcm.astype(np.float32) / 32767.0), sr
+    # scale by the ACTUAL frame bit depth: a valid external 24-bit
+    # stream decoded at /32767 would come back ~256x hot
+    full_scale = float(2 ** ((stream_bits or 16) - 1) - 1)
+    return (pcm.astype(np.float32) / full_scale), sr
 
 
 def _read_residual(r: _BitReader, bs: int, order: int) -> np.ndarray:

@@ -234,6 +234,35 @@ def update_fingerprint_index(index_fps: DataFrame, new_fps: DataFrame,
     return index_fps.unionByName(new_fps)
 
 
+def write_fingerprint_index(fps: DataFrame, path: str, table: str,
+                            buckets: int = 32) -> None:
+    """Persist the fingerprint index HASH-BUCKETED on disk: parquet at
+    ``path``, registered as external table ``table``, ``bucketBy(buckets,
+    hash)`` + in-file sort.  A later session loads it with
+    :func:`load_fingerprint_index` and gets a scan whose output
+    partitioning already clusters on ``hash`` — so the df-cap aggregate
+    and the retrieval join (:func:`fingerprint_matches`) need NO
+    index-side Exchange: only the (small) query side shuffles.  At
+    corpus scale the index is by far the heavy side — this is the
+    write-once/shuffle-never asset shape the 100-TB deployment wants.
+    ``buckets`` should approximate the cluster's target parallelism for
+    index scans; postings stay balanced because the 24-bit hash key is
+    high-cardinality and df-capped at query time."""
+    (fps.write.mode("overwrite")
+        .bucketBy(buckets, "hash")
+        .sortBy("hash")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table))
+
+
+def load_fingerprint_index(spark, table: str) -> DataFrame:
+    """Read back a bucketed fingerprint index written by
+    :func:`write_fingerprint_index` (must go through the table, not
+    ``read.parquet(path)`` — bucketing metadata lives in the catalog)."""
+    return spark.table(table)
+
+
 def fingerprint_matches(query_fps: DataFrame, index_fps: DataFrame,
                         min_votes: int = 10, min_vote_frac: float = 0.7,
                         df_cap: int = 64) -> DataFrame:

@@ -906,13 +906,18 @@ def spec_augment(clips: DataFrame, n_mels: int = 64, frame_ms: int = 64,
                     t_masks, f_masks = _augment_geometry(
                         cid, seed, nf, n_mels, n_time_masks,
                         max_time_frames, n_freq_masks, max_freq_bands)
-                    tm = fm = 0
+                    # report the UNION of masked frames/bands — summing
+                    # per-mask widths double-counts overlapping masks
+                    # (could even exceed nf/n_mels)
+                    t_hit = np.zeros(nf, dtype=bool)
+                    f_hit = np.zeros(n_mels, dtype=bool)
                     for s, w in t_masks:
                         M[s:s + w, :] = 0.0
-                        tm += min(w, max(nf - s, 0))
+                        t_hit[s:s + w] = True
                     for s, w in f_masks:
                         M[:, s:s + w] = 0.0
-                        fm += min(w, max(n_mels - s, 0))
+                        f_hit[s:s + w] = True
+                    tm, fm = int(t_hit.sum()), int(f_hit.sum())
                     out.append((cid, nf, tm, fm,
                                 [[float(x) for x in row] for row in M]))
             yield pd.DataFrame(out,

@@ -144,3 +144,42 @@ def test_update_fingerprint_index_two_batches_equal_one_shot(spark):
     got = {r.query_id for r in fingerprint_matches(q, merged2).collect()
            if r.match_id == "mel-0000000050"}
     assert got == set()
+
+
+def test_fingerprint_index_bucketed_scan_no_exchange(spark, tmp_path):
+    """The persisted index asset is hash-bucketed: loading it back gives
+    a scan already clustered on the join/agg key, so (a) the df-cap
+    aggregate plans with NO Exchange at all, (b) the retrieval join
+    shuffles ONLY the query side, and (c) retrieval results equal the
+    in-memory-index run."""
+    from pyspark.sql import functions as F
+    from drain3_spark.pipeline.audio_fp import (load_fingerprint_index,
+                                                write_fingerprint_index)
+
+    n, every = 60, 15
+    fps = audio_fingerprints(FX.gen_clips_melody(spark, n))
+    write_fingerprint_index(fps, str(tmp_path / "fp_idx"),
+                            "fp_idx_bucket_test", buckets=8)
+    try:
+        idx = load_fingerprint_index(spark, "fp_idx_bucket_test")
+
+        # (a) groupBy on the bucket key: zero Exchange
+        agg_plan = (idx.groupBy("hash").agg(F.count("*").alias("df"))
+                    ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in agg_plan, agg_plan
+
+        # (b) join on the bucket key: exactly one Exchange (query side)
+        qfp = audio_fingerprints(FX.gen_fp_queries(spark, n, every=every,
+                                                   n_negatives=4))
+        join_plan = (qfp.join(idx, "hash")
+                     ._jdf.queryExecution().executedPlan().toString())
+        assert join_plan.count("Exchange") == 1, join_plan
+
+        # (c) end-to-end retrieval over the loaded index == in-memory run
+        got = {(r.query_id, r.match_id)
+               for r in fingerprint_matches(qfp, idx).collect()}
+        ref = {(r.query_id, r.match_id)
+               for r in fingerprint_matches(qfp, fps).collect()}
+        assert got == ref and got
+    finally:
+        spark.sql("drop table if exists fp_idx_bucket_test")

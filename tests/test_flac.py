@@ -74,10 +74,10 @@ def _container(frames: bytes, sr: int, total: int) -> bytes:
             + streaminfo + frames)
 
 
-def _frame_header(bs: int, f_idx: int = 0) -> bytearray:
+def _frame_header(bs: int, f_idx: int = 0, ss_code: int = 0x4) -> bytearray:
     hdr = bytearray(b"\xff\xf8")
     hdr.append((0x7 << 4) | 0x0)
-    hdr.append((0x0 << 4) | (0x4 << 1))
+    hdr.append((0x0 << 4) | (ss_code << 1))
     hdr.append(f_idx)  # utf8-coded frame number < 0x80
     hdr += struct.pack(">H", bs - 1)
     hdr.append(_crc8(bytes(hdr)))
@@ -212,3 +212,50 @@ def test_flac_through_codec_dispatch():
     payload = encode(x, "flac", sr_hz=22050)
     got = decode(payload, "flac")
     assert np.array_equal(_quant(x), _quant(got))
+
+
+def test_flac_non_16bit_amplitude_scaling():
+    """External 8- and 24-bit mono streams decode at the CORRECT
+    amplitude: full scale is 2^(bits-1)-1 of the frame's actual sample
+    size, not a hardcoded /32767 (which left 24-bit ~256x hot)."""
+    bs = 64
+    # 24-bit constant subframe (ss_code 6)
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(0, 6)
+    w.write(0, 1)
+    w.write((-1234567) & 0xFFFFFF, 24)
+    payload = _container(
+        _wrap_frame(_frame_header(bs, ss_code=0x6), w.tobytes()), 8000, bs)
+    pcm, _ = decode_flac(payload)
+    assert np.allclose(pcm, -1234567 / (2 ** 23 - 1), atol=1e-9)
+
+    # 8-bit constant subframe (ss_code 1)
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(0, 6)
+    w.write(0, 1)
+    w.write(100 & 0xFF, 8)
+    payload = _container(
+        _wrap_frame(_frame_header(bs, ss_code=0x1), w.tobytes()), 8000, bs)
+    pcm, _ = decode_flac(payload)
+    assert np.allclose(pcm, 100 / 127.0, atol=1e-9)
+
+
+def test_flac_rejects_mid_stream_depth_change():
+    """A stream whose frames disagree on sample size is malformed —
+    one full-scale factor applies to the whole stream."""
+    import pytest
+    bs = 64
+    frames = b""
+    for i, ss in enumerate((0x4, 0x6)):
+        w = _BitWriter()
+        w.write(0, 1)
+        w.write(0, 6)
+        w.write(0, 1)
+        w.write(5, 16 if ss == 0x4 else 24)
+        frames += _wrap_frame(_frame_header(bs, f_idx=i, ss_code=ss),
+                              w.tobytes())
+    payload = _container(frames, 8000, 2 * bs)
+    with pytest.raises(ValueError, match="sample size changed"):
+        decode_flac(payload)

@@ -626,13 +626,14 @@ def test_q52_spec_augment_pin(spark):
         nf = len(L)
         t_masks, f_masks = _augment_geometry(m["clip_id"], 17, nf, 64,
                                              2, 10, 2, 8)
-        tm = fm = 0
+        t_hit, f_hit = np.zeros(nf, dtype=bool), np.zeros(64, dtype=bool)
         for s, w in t_masks:
             L[s:s + w, :] = 0.0
-            tm += min(w, max(nf - s, 0))
+            t_hit[s:s + w] = True
         for s, w in f_masks:
             L[:, s:s + w] = 0.0
-            fm += min(w, max(64 - s, 0))
+            f_hit[s:s + w] = True
+        tm, fm = int(t_hit.sum()), int(f_hit.sum())
         st = stats[m["codec"]]
         st["n"] += 1
         st["frames"] += nf
@@ -649,3 +650,35 @@ def test_q52_spec_augment_pin(spark):
         # compare at a tolerance far above pocketfft noise, far below
         # one masked cell's contribution
         assert abs(r.feat_l1 - st["l1"]) < 0.01 * max(st["l1"], 1.0), codec
+
+
+# --------------------------------------------------------------- q53
+
+def test_q53_speech_rate_pin(spark):
+    """The graded speech-rate check flags EXACTLY the planted
+    swapped/truncated-transcript rows (ids ≡ 0 and ≡ 12 mod 25), with
+    the too-fast and too-slow classes carried in the detail strings of
+    the underlying engine check."""
+    from drain3_spark.validation.checks import speech_rate_violations
+
+    got = entry.queries()["q53_speech_rate"](spark, SF).collect()
+    expected = {f"sr-{i:010d}" for i in range(5000) if i % 25 in (0, 12)}
+    assert {r.clip_id for r in got} == expected
+    assert len(got) == 400
+    assert all(r.check_name == "speech_rate" for r in got)
+
+    # detail strings (Spark-side only; dropped from the graded
+    # projection because float->string rendering is engine-specific)
+    v = speech_rate_violations(
+        entry._speech_rate_corpus(spark), (8.0, 30.0)).collect()
+    rates = {}
+    for r in v:
+        assert r.detail.startswith("chars_per_sec=")
+        rates[r.clip_id] = float(r.detail.split("=")[1].split(" ")[0])
+    fast = {c for c, x in rates.items() if x > 30.0}
+    slow = {c for c, x in rates.items() if x < 8.0}
+    assert fast == {f"sr-{i:010d}" for i in range(0, 5000, 25)}
+    assert slow == {f"sr-{i:010d}" for i in range(12, 5000, 25)}
+    # clean rows sit in a KNOWN narrow band well inside the bounds:
+    # never within 25% of either bound, so the gate cannot flap
+    assert not (set(rates) - fast - slow)
