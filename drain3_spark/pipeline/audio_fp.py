@@ -248,19 +248,16 @@ def write_fingerprint_index(fps: DataFrame, path: str, table: str,
     ``buckets`` should approximate the cluster's target parallelism for
     index scans; postings stay balanced because the 24-bit hash key is
     high-cardinality and df-capped at query time."""
-    (fps.write.mode("overwrite")
-        .bucketBy(buckets, "hash")
-        .sortBy("hash")
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable(table))
+    from drain3_spark.pipeline.assets import write_index_asset
+    write_index_asset(fps, path, table, ["hash"], buckets)
 
 
 def load_fingerprint_index(spark, table: str) -> DataFrame:
     """Read back a bucketed fingerprint index written by
     :func:`write_fingerprint_index` (must go through the table, not
     ``read.parquet(path)`` — bucketing metadata lives in the catalog)."""
-    return spark.table(table)
+    from drain3_spark.pipeline.assets import load_index_asset
+    return load_index_asset(spark, table)
 
 
 def fingerprint_matches(query_fps: DataFrame, index_fps: DataFrame,

@@ -57,7 +57,7 @@ def test_q24_violation_counts_pin(spark):
 # --------------------------------------------------------------- q25
 
 def test_q25_audio_feature_aggregates_pin(spark):
-    row = entry.queries()["q25_audio_features"](spark, SF).collect()[0]
+    row = entry.extra_bench_queries()["q25_audio_features"](spark, SF).collect()[0]
     assert row.n_clips == 200
 
     # exact expected durations / analytic rms and zero-crossing totals
@@ -212,7 +212,7 @@ def test_q41_resample_aggregates_pin(spark):
     """After resampling to 8 kHz, the dominant-frequency average still
     tracks the mean synthesis frequency (all tones sit far below the
     new 4 kHz Nyquist), and no silence appears."""
-    row = entry.queries()["q41_audio_resample"](spark, SF).collect()[0]
+    row = entry.extra_bench_queries()["q41_audio_resample"](spark, SF).collect()[0]
     assert row.n_clips == 150
     freqs = [clip_params(FX.row_meta(i, n_ds=7, dur_lo=250, dur_hi=600,
                                      dirty=False)["clip_id"])["freq"]
