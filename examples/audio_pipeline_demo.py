@@ -64,11 +64,21 @@ def main() -> None:
           f"({dropped} near-dups dropped) ==")
 
     # -- 3. incremental batch vs the kept corpus's index -----------
-    idx = audio_embedding_index(kept)
+    # persist the index the production way: hash-BUCKETED on the probe
+    # key, so every future batch's probe join streams the corpus-scale
+    # index straight from its files (no index-side shuffle)
+    import tempfile
+
+    from drain3_spark.pipeline.assets import (load_index_asset,
+                                              write_audio_index)
+    work = tempfile.mkdtemp(prefix="audio_idx_")
+    write_audio_index(audio_embedding_index(kept), f"{work}/idx",
+                      "demo_audio_index", buckets=8)
+    idx = load_index_asset(spark, "demo_audio_index")
     batch = FX.gen_clip_dups(spark, 200, every=40, dur_lo=250, dur_hi=600) \
         .withColumn("clip_id", F.concat(F.lit("b2-"), F.col("clip_id")))
     inc = audio_incremental_duplicates(batch, idx, threshold=0.999)
-    print("== incremental batch duplicates (vs stored index) ==")
+    print("== incremental batch duplicates (vs stored bucketed index) ==")
     inc.orderBy("new_id").show(5, truncate=False)
 
     # -- 4. transformations over the keepers -----------------------
