@@ -665,6 +665,59 @@ def _q45_audio_pipeline(spark, sf):
     return scope.attach(out)
 
 
+def _q54_stratified_sample(spark, sf):
+    """Deterministic hash-keyed stratified sampling over documents —
+    the corpus-balancing pass (pipeline/sampling.py).  Pure Catalyst
+    scan-side filter; exact cross-engine parity (same md5 keep/drop
+    set as DuckDB) is pinned by tests/test_sampling.py."""
+    from drain3_spark.pipeline.sampling import stratified_sample
+    d = _t(spark, sf, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+    return (stratified_sample(d, "source", rates, "doc_id", seed=3,
+                              default_rate=0.2)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+def _q55_audio_loudness(spark, sf):
+    """BS.1770-4 integrated loudness (K-weighting + two-stage gating)
+    over fixture clips, rolled up per codec — the level-management
+    pass (pipeline/audio_loudness.py).  Rows-only: IIR/FFT float
+    reductions have no SQL oracle; the kernel is pinned against the
+    spec's 48 kHz coefficient table and known-signal values by
+    tests/test_audio_loudness.py."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_loudness import loudness_stats
+    clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600,
+                         partitions=8)
+    return (loudness_stats(clips).join(clips.select("clip_id", "codec"),
+                                       "clip_id")
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.round(F.avg("integrated_lufs"), 3).alias("avg_lufs"),
+                 F.round(F.avg("momentary_max_lufs"), 3).alias("avg_mmax"),
+                 F.sum("n_gated_blocks").alias("gated_blocks")))
+
+
+def _q56_audio_vad(spark, sf):
+    """Energy-VAD speech/silence segmentation over clips with planted
+    silence padding (pipeline/audio_vad.py) — segment counts and
+    speech coverage per ds partition.  Rows-only; planted-boundary
+    recovery is pinned by tests/test_audio_vad.py."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_vad import speech_ratio_stats
+    clips = FX.gen_clips_padded(spark, 160, dur_lo=250, dur_hi=600)
+    return (speech_ratio_stats(clips)
+            .join(clips.select("clip_id", "ds"), "clip_id")
+            .groupBy("ds")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.sum("n_segments").alias("n_segments"),
+                 F.sum("speech_ms").alias("speech_ms"),
+                 F.round(F.avg("speech_ratio"), 6).alias("avg_ratio"))
+            .orderBy("ds"))
+
+
 def _q46_audio_fingerprint(spark, sf):
     """Constellation-fingerprint retrieval (query-by-excerpt): a melody
     corpus is fingerprinted into an inverted hash index; gain-scaled,
@@ -1151,11 +1204,21 @@ def extra_bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     audio-feature rollup superseded by q37/q40/q45 (value-pinned in
     test_value_pins), q41 the resample op separately pinned by
     test_resample_preserves_content.  They stay in
-    bench.py so the round-over-round perf series keeps its comparables."""
+    bench.py so the round-over-round perf series keeps its comparables.
+
+    Round-7 additions beyond the cap, each with its own full test
+    oracle: q54 stratified sampling (EXACT DuckDB keep/drop parity in
+    tests/test_sampling.py — equivalent evidence to a driver oracle
+    row), q55 BS.1770 loudness (spec-table + known-signal pins,
+    tests/test_audio_loudness.py), q56 energy VAD (planted-boundary
+    pins, tests/test_audio_vad.py)."""
     return {
         "q25_audio_features": _q25_audio_features,
         "q30_neardup_blas": _q30_neardup_blas,
         "q41_audio_resample": _q41_audio_resample,
+        "q54_stratified_sample": _q54_stratified_sample,
+        "q55_audio_loudness": _q55_audio_loudness,
+        "q56_audio_vad": _q56_audio_vad,
     }
 
 

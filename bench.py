@@ -106,7 +106,9 @@ def main() -> None:
                 "q44_audio_dedup_groups", "q45_audio_pipeline",
                 "q46_audio_fingerprint", "q47_audio_quality",
                 "q48_audio_codec_matrix", "q49_audio_segments",
-                "q51_pii_scrub", "q52_spec_augment", "q53_speech_rate"]
+                "q51_pii_scrub", "q52_spec_augment", "q53_speech_rate",
+                "q54_stratified_sample", "q55_audio_loudness",
+                "q56_audio_vad"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

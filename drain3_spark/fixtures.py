@@ -39,6 +39,8 @@ CHECK_AUDIO_DECODE = "audio_decode"
 CHECK_TRANSCRIPT_EQ = "transcript_equality"
 CHECK_CONTAINER_META = "container_metadata"
 CHECK_SPEECH_RATE = "speech_rate"
+CHECK_LOUDNESS = "loudness_bounds"
+CHECK_SPEECH_RATIO = "speech_ratio"
 
 DUR_OUT_OF_RANGE = 10_000_000
 SR_ILLEGAL = 12345

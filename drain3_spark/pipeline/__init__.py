@@ -1,3 +1,4 @@
-from drain3_spark.pipeline import dedup, multimodal, similarity, text
+from drain3_spark.pipeline import (dedup, multimodal, sampling, similarity,
+                                   text)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "sampling", "similarity", "text"]

@@ -15,7 +15,7 @@ except the five this check needs.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -165,7 +165,11 @@ def container_metadata_violations(clips: DataFrame,
 def audio_and_container_violations(clips: DataFrame, snr_min: float = 30.0,
                                    dur_bounds: Tuple[int, int] = (100, 5000),
                                    sr_domain: Sequence[int] = (8000, 16000, 22050, 44100, 48000),
-                                   dur_tol_ms: int = 2) -> DataFrame:
+                                   dur_tol_ms: int = 2,
+                                   check_container: bool = True,
+                                   loudness_bounds: Optional[Tuple[float, float]] = None,
+                                   min_speech_ratio: Optional[float] = None,
+                                   ) -> DataFrame:
     """SNR decode verdicts AND container-vs-column metadata consistency
     in ONE ``bytes`` scan — the pass the ValidationEngine runs.
 
@@ -180,14 +184,30 @@ def audio_and_container_violations(clips: DataFrame, snr_min: float = 30.0,
     to the standalone checks' (exact-match contract).  Scope note: the
     engine path checks containers on STRUCTURALLY VALID rows (the same
     filter as the decode check); rows that are already dur/sr-domain
-    findings are their own checks' responsibility."""
+    findings are their own checks' responsibility.
+
+    Two more opt-in content checks ride the SAME decoded PCM (the
+    one-bytes-scan discipline that folded the container check in):
+
+    * ``loudness_bounds=(lo, hi)`` — BS.1770-4 integrated loudness
+      outside the bounds (or unmeasurable: all-silent program) flags
+      the clip (mastering/gain-staging drift a level-free SNR check
+      cannot see).  Bounds are corpus-specific, so the engine never
+      guesses them.
+    * ``min_speech_ratio=r`` — energy-VAD speech coverage below ``r``
+      flags a dead-air clip whose transcript claims content.
+    """
     from drain3_spark.audio.codecs import CODECS, CONTAINER_CODECS
-    from drain3_spark.fixtures import CHECK_AUDIO_DECODE, CHECK_CONTAINER_META
+    from drain3_spark.fixtures import (CHECK_AUDIO_DECODE,
+                                       CHECK_CONTAINER_META, CHECK_LOUDNESS,
+                                       CHECK_SPEECH_RATIO)
     from drain3_spark.shipping import ship_package
     ship_package(clips.sparkSession)
 
     lo, hi = dur_bounds
     tol = int(dur_tol_ms)
+    loud_lo, loud_hi = loudness_bounds or (None, None)
+    min_ratio = min_speech_ratio
     valid = (clips
              .filter(F.col("codec").isin(*CODECS, *CONTAINER_CODECS)
                      & F.col("sr_hz").isin(*[int(s) for s in sr_domain])
@@ -200,6 +220,8 @@ def audio_and_container_violations(clips: DataFrame, snr_min: float = 30.0,
         from drain3_spark.audio.flac import flac_header
         from drain3_spark.audio.synth import reference_pcm
         from drain3_spark.audio.wav import wav_header
+        from drain3_spark.pipeline.audio_loudness import lufs_kernel
+        from drain3_spark.pipeline.audio_vad import vad_kernel
         for b in batches:
             rows = []
             for cid, ds, payload, sr, dur, codec in zip(
@@ -216,7 +238,24 @@ def audio_and_container_violations(clips: DataFrame, snr_min: float = 30.0,
                 if not s >= gate:
                     rows.append((cid, ds, CHECK_AUDIO_DECODE,
                                  f"snr below {snr_min} dB"))
-                if codec.startswith("wav") or codec == "flac":
+                decoded = s > float("-inf")
+                if loud_lo is not None and decoded:
+                    lufs = lufs_kernel(got, int(sr))[0]
+                    if lufs is None:
+                        rows.append((cid, ds, CHECK_LOUDNESS,
+                                     "unmeasurable loudness (silence)"))
+                    elif not loud_lo <= lufs <= loud_hi:
+                        rows.append((cid, ds, CHECK_LOUDNESS,
+                                     f"integrated_lufs={lufs:.2f} outside "
+                                     f"[{loud_lo}, {loud_hi}]"))
+                if min_ratio is not None and decoded:
+                    _, ratio = vad_kernel(got, int(sr))
+                    if ratio < min_ratio:
+                        rows.append((cid, ds, CHECK_SPEECH_RATIO,
+                                     f"speech_ratio={ratio:.4f} below "
+                                     f"{min_ratio}"))
+                if check_container and (codec.startswith("wav")
+                                        or codec == "flac"):
                     try:
                         if codec == "flac":
                             c_sr, n = flac_header(raw)

@@ -64,6 +64,12 @@ class ValidationConfig:
     # bound is corpus-specific (read speech vs spontaneous vs machine),
     # so the engine never guesses one
     speech_rate_bounds: Optional[Tuple[float, float]] = None
+    # BS.1770 integrated-loudness bounds (LUFS) and minimum energy-VAD
+    # speech coverage — opt-in content checks computed from the SAME
+    # decoded PCM as the SNR check (no extra bytes scan).  None (the
+    # default) disables each: both bounds are corpus-specific
+    loudness_bounds: Optional[Tuple[float, float]] = None
+    min_speech_ratio: Optional[float] = None
     # drift-cube duration bucketing: the cube is COLLECTED to the
     # driver, so its dur axis must stay bounded however wide the data's
     # duration domain grows.  None = auto width
@@ -120,9 +126,13 @@ class ValidationEngine:
         # SNR decode + (when enabled) container metadata in ONE bytes
         # scan — a separate container pass doubled the engine's payload
         # I/O (measured +51% per 4M-clip validation iteration)
-        if cfg.check_container_meta:
-            a = audio_and_container_violations(clips, cfg.snr_min,
-                                               cfg.dur_bounds, cfg.sr_domain)
+        if (cfg.check_container_meta or cfg.loudness_bounds is not None
+                or cfg.min_speech_ratio is not None):
+            a = audio_and_container_violations(
+                clips, cfg.snr_min, cfg.dur_bounds, cfg.sr_domain,
+                check_container=cfg.check_container_meta,
+                loudness_bounds=cfg.loudness_bounds,
+                min_speech_ratio=cfg.min_speech_ratio)
         else:
             a = audio_violations(clips, cfg.snr_min, cfg.dur_bounds,
                                  cfg.sr_domain)

@@ -101,6 +101,25 @@ def main() -> None:
     mf.select("clip_id", F.round(F.element_at("mfcc", 1), 2).alias("c0"),
               F.round(F.element_at("mfcc", 2), 2).alias("c1")) \
         .orderBy("clip_id").show(5)
+
+    # -- 6. loudness + VAD + stratified sampling (round 7) ----------
+    from drain3_spark.pipeline.audio_loudness import loudness_stats
+    from drain3_spark.pipeline.audio_vad import speech_ratio_stats
+    from drain3_spark.pipeline.sampling import stratified_sample
+    print("== BS.1770 loudness (per codec) ==")
+    loudness_stats(kept).join(kept.select("clip_id", "codec"), "clip_id") \
+        .groupBy("codec") \
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("integrated_lufs"), 2).alias("avg_lufs")).show()
+    print("== VAD speech coverage ==")
+    speech_ratio_stats(kept).agg(
+        F.round(F.avg("speech_ratio"), 4).alias("avg_speech_ratio"),
+        F.sum("n_segments").alias("segments")).show()
+    print("== stratified sample (hash-deterministic, codec strata) ==")
+    sampled = stratified_sample(kept, "codec",
+                                {"pcm_s16le": 0.25, "pcm_f32le": 1.0},
+                                key_col="clip_id", default_rate=0.5)
+    sampled.groupBy("codec").count().orderBy("codec").show()
     pairs.unpersist()
     spark.stop()
 

@@ -244,3 +244,58 @@ def test_speech_rate_check(spark):
                                              with_drift=False))
     v0 = eng0.violations(clips, materialize=False)
     assert v0.filter(v0.check == CHECK_SPEECH_RATE).count() == 0
+
+
+def test_loudness_and_speech_ratio_checks(spark):
+    """Opt-in content checks computed from the SAME decoded PCM as the
+    SNR check: integrated loudness outside bounds (or unmeasurable),
+    and energy-VAD speech coverage below the floor.  Planted defects
+    are flagged exactly; healthy clips and default-config runs are
+    untouched."""
+    import numpy as np
+
+    from drain3_spark.audio.codecs import encode
+    from drain3_spark.fixtures import CHECK_LOUDNESS, CHECK_SPEECH_RATIO
+    from drain3_spark.validation.runner import (ValidationConfig,
+                                                ValidationEngine)
+
+    fs = 16000
+    t = np.arange(2 * fs) / fs
+    am = 0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)  # speech-shaped AM
+    tone = np.sin(2 * np.pi * 220 * t) * am
+    dead = np.concatenate([0.2 * tone[:int(0.15 * fs)],
+                           np.zeros(2 * fs - int(0.15 * fs))])
+    rows = [
+        ("ok", 0.1 * tone),        # ~-23 LUFS, full speech coverage
+        ("quiet", 0.001 * tone),   # ~-63 LUFS: below bounds
+        ("loud", 0.9 * tone),      # ~-4 LUFS: above bounds
+        ("silent", np.zeros(2 * fs)),  # unmeasurable
+        ("deadair", dead),         # speech_ratio ~= 0.075
+    ]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string, ds string")
+    clips = spark.createDataFrame(
+        [(cid, bytearray(encode(x.astype(np.float32), "pcm_s16le")),
+          fs, 2000, "pcm_s16le", "hello world", "d1") for cid, x in rows],
+        schema)
+
+    eng = ValidationEngine(ValidationConfig(
+        with_drift=False, loudness_bounds=(-35.0, -10.0),
+        min_speech_ratio=0.5))
+    viol = eng.violations(clips, materialize=False)
+    loud = {r.clip_id: r.detail for r in
+            viol.filter(viol.check == CHECK_LOUDNESS).collect()}
+    assert set(loud) == {"quiet", "loud", "silent"}
+    assert "unmeasurable" in loud["silent"]
+    assert "outside [-35.0, -10.0]" in loud["quiet"]
+    ratio = {r.clip_id: r.detail for r in
+             viol.filter(viol.check == CHECK_SPEECH_RATIO).collect()}
+    # silent: unmeasurable-loudness AND zero-speech; quiet: below the
+    # VAD absolute floor, so it is a dead-air finding too
+    assert set(ratio) == {"deadair", "silent", "quiet"}
+
+    # default config: neither check runs, same corpus
+    v0 = ValidationEngine(ValidationConfig(with_drift=False)).violations(
+        clips, materialize=False)
+    assert v0.filter(v0.check.isin(CHECK_LOUDNESS,
+                                   CHECK_SPEECH_RATIO)).count() == 0
