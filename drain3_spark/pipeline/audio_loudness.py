@@ -24,6 +24,10 @@ Spec surface implemented (mono channel, weight 1.0):
   under the mean power of the absolutely-gated blocks (§2.3).
   Integrated loudness = gated power mean.  All-silent clips (no
   block above −70) report NULL.
+* **Loudness range (LRA)** — EBU Tech 3342: 3 s short-term windows,
+  absolute −70 / relative −20 LU gates, 95th − 10th percentile.
+* **True peak** — BS.1770-4 Annex 2: 4x over-sampled inter-sample
+  peak (windowed-sinc interpolation), reported in dBTP.
 
 Filtering without scipy: the biquad cascade is materialized once per
 sample rate as a truncated impulse response (recursion run until the
@@ -147,7 +151,87 @@ def k_weight(pcm: np.ndarray, fs: int) -> np.ndarray:
     return y[:n]
 
 
-def lufs_kernel(pcm: np.ndarray, fs: int) -> tuple:
+def _block_powers(y: np.ndarray, fs: int, block_s: float,
+                  hop_s: float) -> np.ndarray:
+    """Mean power of overlapped blocks (cumulative-sum vectorization);
+    one partial block when the signal is shorter than a block."""
+    n = len(y)
+    blk = int(round(block_s * fs))
+    hop = int(round(hop_s * fs))
+    if n < blk:
+        return np.array([float(np.mean(y ** 2))])
+    nb = (n - blk) // hop + 1
+    c = np.concatenate(([0.0], np.cumsum(y ** 2)))
+    starts = np.arange(nb) * hop
+    return (c[starts + blk] - c[starts]) / blk
+
+
+def lra_kernel(pcm: np.ndarray, fs: int,
+               _kw: Optional[np.ndarray] = None) -> Optional[float]:
+    """Loudness range (LRA, LU) per EBU Tech 3342: short-term loudness
+    over 3 s windows (1 s hop here — deterministic, documented),
+    absolute −70 LUFS gate then relative −20 LU below the gated power
+    mean, LRA = 95th − 10th percentile of the surviving short-term
+    values.  None when nothing clears the absolute gate; 0.0 for
+    programs shorter than one window (a single block has no range)."""
+    if len(pcm) == 0:
+        return None
+    y = k_weight(np.asarray(pcm, dtype=np.float64), int(fs)) \
+        if _kw is None else _kw
+    z = _block_powers(y, fs, 3.0, 1.0)
+    ls = _OFFSET + 10.0 * np.log10(np.maximum(z, 1e-30))
+    keep = z[ls > _ABS_GATE]
+    if keep.size == 0:
+        return None
+    rel = _OFFSET + 10.0 * np.log10(np.mean(keep)) - 20.0
+    vals = np.sort(ls[(ls > _ABS_GATE) & (ls > rel)])
+    if vals.size <= 1:
+        return 0.0
+    lo, hi = np.percentile(vals, [10.0, 95.0])
+    return round(float(hi - lo), 6)
+
+
+_TP_FILTER_CACHE: dict = {}
+
+
+def _truepeak_filter(phases: int = 4, taps_per_phase: int = 12) -> np.ndarray:
+    """Windowed-sinc lowpass for ``phases``x oversampling (BS.1770-4
+    Annex 2 prescribes 4x over-sampled true-peak metering; any
+    good interpolation filter is conformant — this is a Hann-windowed
+    sinc at the original Nyquist, 48 taps)."""
+    key = (phases, taps_per_phase)
+    h = _TP_FILTER_CACHE.get(key)
+    if h is None:
+        n = phases * taps_per_phase
+        t = np.arange(n) - (n - 1) / 2.0
+        h = np.sinc(t / phases) * np.hanning(n)
+        h *= phases / np.sum(h)  # unity passband gain after zero-stuffing
+        _TP_FILTER_CACHE[key] = h
+    return h
+
+
+def true_peak_dbfs(pcm: np.ndarray, oversample: int = 4) -> Optional[float]:
+    """Inter-sample (true) peak in dBTP via ``oversample``x windowed-
+    sinc interpolation — a sample-peak meter misses crests that land
+    between samples by up to ~3 dB (the classic case: a tone at fs/4
+    sampled off-crest reads −3.01 dBFS sample peak but 0 dBTP)."""
+    n = len(pcm)
+    if n == 0:
+        return None
+    x = np.asarray(pcm, dtype=np.float64)
+    h = _truepeak_filter(oversample)
+    up = np.zeros(n * oversample)
+    up[::oversample] = x
+    m = 1
+    while m < len(up) + len(h) - 1:
+        m *= 2
+    y = np.fft.irfft(np.fft.rfft(up, m) * np.fft.rfft(h, m), m)[:len(up)]
+    peak = max(float(np.max(np.abs(y))), float(np.max(np.abs(x))))
+    return round(20.0 * np.log10(max(peak, 1e-10)), 6)
+
+
+def lufs_kernel(pcm: np.ndarray, fs: int,
+                _kw: Optional[np.ndarray] = None) -> tuple:
     """(integrated_lufs, momentary_max_lufs, n_blocks, n_gated) for one
     decoded mono PCM buffer — the single source of truth the Spark
     operator batches; tests replay it directly.  Clips shorter than one
@@ -158,17 +242,9 @@ def lufs_kernel(pcm: np.ndarray, fs: int) -> tuple:
     n = len(pcm)
     if n == 0:
         return (None, None, 0, 0)
-    y = k_weight(np.asarray(pcm, dtype=np.float64), int(fs))
-    blk = int(round(_BLOCK_S * fs))
-    hop = int(round(_HOP_S * fs))
-    if n < blk:
-        z = np.array([float(np.mean(y ** 2))])
-    else:
-        nb = (n - blk) // hop + 1
-        # power per overlapped block via cumulative sum (vectorized)
-        c = np.concatenate(([0.0], np.cumsum(y ** 2)))
-        starts = np.arange(nb) * hop
-        z = (c[starts + blk] - c[starts]) / blk
+    y = k_weight(np.asarray(pcm, dtype=np.float64), int(fs)) \
+        if _kw is None else _kw
+    z = _block_powers(y, fs, _BLOCK_S, _HOP_S)
     lj = _OFFSET + 10.0 * np.log10(np.maximum(z, 1e-30))
     mmax = float(np.max(lj))
     keep = z[lj > _ABS_GATE]
@@ -191,15 +267,20 @@ LOUDNESS_SCHEMA = T.StructType([
     T.StructField("momentary_max_lufs", T.DoubleType()),
     T.StructField("n_blocks", T.IntegerType()),
     T.StructField("n_gated_blocks", T.IntegerType()),
+    T.StructField("loudness_range_lu", T.DoubleType()),
+    T.StructField("true_peak_dbfs", T.DoubleType()),
 ])
 
 
 def loudness_stats(clips: DataFrame) -> DataFrame:
-    """Per-clip BS.1770-4 integrated loudness (module docstring).  One
-    decode per clip; undecodable payloads yield null metrics (the
+    """Per-clip BS.1770-4 integrated loudness + EBU Tech 3342 loudness
+    range + Annex-2 true peak (module docstring).  One decode AND one
+    K-weighting filter pass per clip — integrated and LRA share the
+    weighted signal; undecodable payloads yield null metrics (the
     decode CHECK family owns flagging them)."""
     from drain3_spark.shipping import ship_package
     ship_package(clips.sparkSession)
+    nulls = (None, None, 0, 0, None, None)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from drain3_spark.audio.codecs import decode
@@ -210,12 +291,16 @@ def loudness_stats(clips: DataFrame) -> DataFrame:
                 try:
                     pcm = decode(bytes(payload), codec)
                 except Exception:
-                    out.append((cid, 0, None, None, 0, 0))
+                    out.append((cid, 0) + nulls)
                     continue
-                if not sr:
-                    out.append((cid, len(pcm), None, None, 0, 0))
+                if not sr or len(pcm) == 0:
+                    out.append((cid, len(pcm)) + nulls)
                     continue
-                out.append((cid, len(pcm)) + lufs_kernel(pcm, int(sr)))
+                y = k_weight(np.asarray(pcm, dtype=np.float64), int(sr))
+                out.append((cid, len(pcm))
+                           + lufs_kernel(pcm, int(sr), _kw=y)
+                           + (lra_kernel(pcm, int(sr), _kw=y),
+                              true_peak_dbfs(pcm)))
             yield pd.DataFrame(out, columns=[f.name for f in
                                              LOUDNESS_SCHEMA])
 

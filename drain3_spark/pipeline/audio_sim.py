@@ -927,6 +927,71 @@ def spec_augment(clips: DataFrame, n_mels: int = 64, frame_ms: int = 64,
             .mapInPandas(aug, SPEC_AUGMENT_SCHEMA))
 
 
+PERTURBED_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("src_clip_id", T.StringType()),
+    T.StructField("speed", T.DoubleType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("sr_hz", T.IntegerType()),
+    T.StructField("dur_ms", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+])
+
+
+def perturb_speed(clips: DataFrame,
+                  factors: tuple = (0.9, 1.1)) -> DataFrame:
+    """Speed perturbation — the standard ASR training augmentation
+    (Ko et al., "Audio augmentation for speech recognition",
+    Interspeech 2015): emit one copy of every clip per factor f,
+    resampled so playback runs f× faster (y(t) = x(f·t) — duration
+    scales by 1/f and pitch shifts with it, the sox ``speed`` effect).
+    Output ``clip_id = src_clip_id @ f`` so copies stay joinable to
+    their source transcript; 1.0 factors pass payload bytes through
+    untouched.  One decode per (clip, factor), linear-interp kernel
+    shared with :func:`resample_clips`, re-encoded with the clip's
+    own codec; undecodable payloads are dropped (the decode CHECK
+    family flags them).  100-TB shape: embarrassingly parallel,
+    output = input × len(factors), no shuffle."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
+    fs = tuple(float(f) for f in factors)
+    if any(f <= 0 for f in fs):
+        raise ValueError(f"speed factors must be positive: {factors}")
+
+    def ps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.codecs import decode, encode
+        for b in batches:
+            out = []
+            for cid, payload, sr, dur, codec in zip(
+                    b["clip_id"], b["bytes"], b["sr_hz"], b["dur_ms"],
+                    b["codec"]):
+                sr = int(sr)
+                try:
+                    pcm = decode(bytes(payload), codec).astype(np.float64)
+                except Exception:
+                    continue
+                for f in fs:
+                    if f == 1.0:
+                        out.append((f"{cid}@1.0", cid, 1.0, payload, sr,
+                                    int(dur), codec))
+                        continue
+                    n_new = max(int(round(len(pcm) / f)), 1)
+                    # x(f*t) at the original rate: sample the source at
+                    # positions f * i (same lattice as resampling to
+                    # sr/f and relabeling the rate as sr)
+                    t_new = np.arange(n_new, dtype=np.float64) * f
+                    t_old = np.arange(len(pcm), dtype=np.float64)
+                    y = np.interp(t_new, t_old, pcm).astype(np.float32)
+                    out.append((f"{cid}@{f:g}", cid, float(f),
+                                bytearray(encode(y, codec, sr)), sr,
+                                int(round(n_new * 1000.0 / sr)), codec))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             PERTURBED_SCHEMA])
+
+    return (clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
+            .mapInPandas(ps, PERTURBED_SCHEMA))
+
+
 def transcode_clips(clips: DataFrame, target_codec: str) -> DataFrame:
     """Re-encode every clip into ``target_codec`` (raw codec or
     self-describing container — anything :mod:`drain3_spark.audio.codecs`

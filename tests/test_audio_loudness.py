@@ -9,8 +9,8 @@ import numpy as np
 from drain3_spark import fixtures as FX
 from drain3_spark.audio.codecs import decode, encode
 from drain3_spark.pipeline.audio_loudness import (
-    k_weight, k_weighting_coeffs, loudness_stats, lufs_kernel,
-    normalize_loudness)
+    k_weight, k_weighting_coeffs, loudness_stats, lra_kernel, lufs_kernel,
+    normalize_loudness, true_peak_dbfs)
 
 # ITU-R BS.1770-4 Tables 1 and 2 (48 kHz filter coefficients)
 _SPEC_B1 = [1.53512485958697, -2.69169618940638, 1.19839281085285]
@@ -107,6 +107,8 @@ def test_loudness_spark_matches_kernel(spark):
         r = got[m["clip_id"]]
         assert (r.integrated_lufs, r.momentary_max_lufs, r.n_blocks,
                 r.n_gated_blocks) == want, m["clip_id"]
+        assert r.loudness_range_lu == lra_kernel(pcm, row[2]), m["clip_id"]
+        assert r.true_peak_dbfs == true_peak_dbfs(pcm), m["clip_id"]
 
 
 def _clip_df(spark, rows):
@@ -172,3 +174,35 @@ def test_normalize_passthrough_silence_and_undecodable(spark):
         r = out[cid]
         assert r.gain_db == 0.0 and r.input_lufs is None and not r.limited
     assert bytes(out["junk"].bytes) == b"\x01\x02\x03"
+
+
+def test_true_peak_catches_intersample_crest():
+    """The classic meter case: a tone at fs/4 whose samples all land
+    pi/4 off-crest reads -3.01 dBFS sample peak but ~0 dBTP — the
+    4x-oversampled meter recovers the inter-sample crest."""
+    fs = 48000
+    n = np.arange(4 * fs)
+    x = np.sin(2 * np.pi * 0.25 * n + np.pi / 4)
+    sample_peak = 20 * np.log10(np.max(np.abs(x)))
+    assert abs(sample_peak - (-3.01)) < 0.01
+    tp = true_peak_dbfs(x)
+    assert abs(tp - 0.0) < 0.1, tp
+    # an on-crest low-frequency tone: true peak == sample peak
+    y = 0.5 * np.sin(2 * np.pi * 100.0 * np.arange(fs) / fs)
+    assert abs(true_peak_dbfs(y) - 20 * np.log10(0.5)) < 0.05
+    assert true_peak_dbfs(np.zeros(0)) is None
+
+
+def test_loudness_range_two_level_program():
+    """10 s quiet + 10 s loud (+12 dB) program: LRA reads ~12 LU; a
+    steady tone reads ~0; sub-window programs read 0; silence None."""
+    fs = 16000
+    t = np.arange(10 * fs) / fs
+    tone = np.sin(2 * np.pi * 300.0 * t)
+    prog = np.concatenate([0.02 * tone, 0.08 * tone])  # +12.04 dB step
+    lra = lra_kernel(prog, fs)
+    assert abs(lra - 12.0) < 1.5, lra
+    assert lra_kernel(0.1 * tone, fs) < 0.2
+    assert lra_kernel(0.1 * tone[: fs], fs) == 0.0  # < one 3 s window
+    assert lra_kernel(np.zeros(5 * fs), fs) is None
+    assert lra_kernel(np.zeros(0), fs) is None
