@@ -21,7 +21,11 @@ import numpy as np
 MU = 255.0
 A_LAW = 87.6
 
-CODECS = ("pcm_s16le", "pcm_f32le", "mulaw", "alaw")
+CODECS = ("pcm_s16le", "pcm_f32le", "mulaw", "alaw",
+          # exact ITU-T G.711 segmented companding — bit-compatible
+          # with real telephony bytes (RTP PCMU/PCMA), unlike the
+          # continuous-formula mulaw/alaw above (drain3_spark.audio.g711)
+          "g711_mulaw", "g711_alaw")
 
 # container codecs: the payload is a self-describing RIFF/WAVE file
 # (inner format after the colon; bare "wav" means pcm_s16le).  The
@@ -45,6 +49,12 @@ def encode(pcm: np.ndarray, codec: str, sr_hz: int = 16000) -> bytes:
         from drain3_spark.audio.wav import encode_wav
         inner = codec.split(":", 1)[1] if ":" in codec else "pcm_s16le"
         return encode_wav(np.asarray(pcm, dtype=np.float32), sr_hz, inner)
+    if codec == "g711_mulaw":
+        from drain3_spark.audio.g711 import encode_mulaw_g711
+        return encode_mulaw_g711(np.asarray(pcm, dtype=np.float32))
+    if codec == "g711_alaw":
+        from drain3_spark.audio.g711 import encode_alaw_g711
+        return encode_alaw_g711(np.asarray(pcm, dtype=np.float32))
     x = _clip(np.asarray(pcm, dtype=np.float32))
     if codec == "pcm_s16le":
         return (np.round(x * 32767.0).astype("<i2")).tobytes()
@@ -103,6 +113,12 @@ def decode(payload: bytes, codec: str) -> np.ndarray:
         return _MULAW_LUT[np.frombuffer(payload, dtype=np.uint8)]
     if codec == "alaw":
         return _ALAW_LUT[np.frombuffer(payload, dtype=np.uint8)]
+    if codec == "g711_mulaw":
+        from drain3_spark.audio.g711 import decode_mulaw_g711
+        return decode_mulaw_g711(payload)
+    if codec == "g711_alaw":
+        from drain3_spark.audio.g711 import decode_alaw_g711
+        return decode_alaw_g711(payload)
     raise ValueError(f"unknown codec: {codec}")
 
 

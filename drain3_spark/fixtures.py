@@ -218,7 +218,8 @@ def pad_ms(m: Dict) -> tuple:
 # container variant, cycled deterministically by row index
 CODEC_MATRIX = ("pcm_s16le", "pcm_f32le", "mulaw", "alaw",
                 "wav", "wav:pcm_s16le", "wav:pcm_f32le", "wav:mulaw",
-                "wav:alaw", "wav:adpcm_ima", "flac")
+                "wav:alaw", "wav:adpcm_ima", "flac",
+                "g711_mulaw", "g711_alaw")
 
 
 def gen_clips_wav(spark: SparkSession, n: int, n_ds: int = 7,
