@@ -1,4 +1,5 @@
-from drain3_spark.pipeline import (dedup, multimodal, sampling, similarity,
-                                   text)
+from drain3_spark.pipeline import (dedup, manifest, multimodal, sampling,
+                                   similarity, text)
 
-__all__ = ["dedup", "multimodal", "sampling", "similarity", "text"]
+__all__ = ["dedup", "manifest", "multimodal", "sampling", "similarity",
+           "text"]
