@@ -120,3 +120,15 @@ def test_rate_validation():
         stratified_sample(None, "s", {"x": 1.5}, "id")
     with pytest.raises(ValueError):
         stratified_take(None, "s", 0, "id")
+
+
+def test_stratified_sample_plan_is_scan_side(spark):
+    """The rate sampler must stay a whole-stage-codegen filter on the
+    scan: no Exchange, no Python eval — at 100 TB it subsamples in the
+    same pass that reads the data."""
+    df = spark.read.parquet(DOCS)
+    plan = (stratified_sample(df, "source", {"src0": 0.5}, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEvalPython" not in plan
+    assert "Filter" in plan and "FileScan parquet" in plan
