@@ -718,6 +718,27 @@ def _q56_audio_vad(spark, sf):
             .orderBy("ds"))
 
 
+def _q57_audio_pitch(spark, sf):
+    """YIN pitch statistics over fixture clips, rolled up per ds —
+    the f0/voicing curation feature (pipeline/audio_pitch.py).
+    Rows-only; the kernel is pinned on synthesized tones (<0.1%),
+    harmonic stacks, and two-pitch programs by
+    tests/test_audio_pitch.py."""
+    from drain3_spark import fixtures as FX
+    from drain3_spark.pipeline.audio_pitch import pitch_stats
+    clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600,
+                         partitions=8)
+    return (pitch_stats(clips).join(clips.select("clip_id", "ds"),
+                                    "clip_id")
+            .groupBy("ds")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.round(F.avg("voiced_ratio"), 6).alias("avg_voiced"),
+                 F.round(F.avg("f0_median_hz"), 3).alias("avg_f0"),
+                 F.min("f0_min_hz").alias("f0_lo"),
+                 F.max("f0_max_hz").alias("f0_hi"))
+            .orderBy("ds"))
+
+
 def _q46_audio_fingerprint(spark, sf):
     """Constellation-fingerprint retrieval (query-by-excerpt): a melody
     corpus is fingerprinted into an inverted hash index; gain-scaled,
@@ -1219,6 +1240,7 @@ def extra_bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "q54_stratified_sample": _q54_stratified_sample,
         "q55_audio_loudness": _q55_audio_loudness,
         "q56_audio_vad": _q56_audio_vad,
+        "q57_audio_pitch": _q57_audio_pitch,
     }
 
 

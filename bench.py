@@ -108,7 +108,7 @@ def main() -> None:
                 "q48_audio_codec_matrix", "q49_audio_segments",
                 "q51_pii_scrub", "q52_spec_augment", "q53_speech_rate",
                 "q54_stratified_sample", "q55_audio_loudness",
-                "q56_audio_vad"]
+                "q56_audio_vad", "q57_audio_pitch"]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
