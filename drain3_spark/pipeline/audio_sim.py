@@ -598,20 +598,55 @@ def normalize_gain(clips: DataFrame, target_rms: float = 0.1,
             .mapInPandas(norm, schema))
 
 
-def resample_clips(clips: DataFrame, target_sr: int) -> DataFrame:
-    """Resample every clip to ``target_sr`` (linear interpolation) and
-    re-encode with the clip's own codec.  Content below the new Nyquist
-    survives (SNR >= 30 dB against an analytically regenerated signal,
-    pinned by ``test_resample_preserves_content``); ``dur_ms`` is
-    recomputed from the resampled length.  Clips already at
-    ``target_sr`` are re-emitted untouched (no decode round-trip);
+def sinc_resample_kernel(pcm: np.ndarray, sr: int, tsr: int,
+                         taps: int = 16) -> np.ndarray:
+    """Windowed-sinc (Hann, ``2*taps`` points) band-limited resampling
+    with the anti-alias cutoff at ``min(sr, tsr)/2`` — on downsampling
+    this REJECTS content above the new Nyquist instead of folding it
+    into the passband the way point-sampling interpolators do.
+    Vectorized: one (n_out, 2*taps) gather + weight matmul."""
+    x = np.asarray(pcm, dtype=np.float64)
+    n = len(x)
+    if n == 0 or sr == tsr:
+        return x.astype(np.float32)
+    ratio = sr / float(tsr)
+    cutoff = min(1.0, 1.0 / ratio)          # of the SOURCE Nyquist
+    n_new = max(int(round(n / ratio)), 1)
+    pos = np.arange(n_new, dtype=np.float64) * ratio
+    base = np.floor(pos).astype(np.int64)
+    frac = pos - base
+    offs = np.arange(-taps + 1, taps + 1)   # 2*taps source taps
+    # u = distance from the output instant to each contributing sample
+    u = offs[None, :] - frac[:, None]
+    w = cutoff * np.sinc(cutoff * u) * (0.5 + 0.5 * np.cos(
+        np.pi * np.clip(u / taps, -1.0, 1.0)))
+    idx = np.clip(base[:, None] + offs[None, :], 0, n - 1)
+    y = np.einsum("ij,ij->i", x[idx], w)
+    return y.astype(np.float32)
+
+
+def resample_clips(clips: DataFrame, target_sr: int,
+                   method: str = "linear", taps: int = 16) -> DataFrame:
+    """Resample every clip to ``target_sr`` and re-encode with the
+    clip's own codec.  ``method="linear"`` (default, the historical
+    behavior) point-samples — adequate for upsampling and for the
+    synthetic corpus, but it ALIASES content above the new Nyquist on
+    downsampling; ``method="sinc"`` applies the band-limited
+    windowed-sinc kernel (:func:`sinc_resample_kernel`, planted-alias
+    rejection pinned by ``test_sinc_resample_rejects_aliases``) — the
+    production choice when downsampling real program material.
+    ``dur_ms`` is recomputed from the resampled length.  Clips already
+    at ``target_sr`` are re-emitted untouched (no decode round-trip);
     undecodable payloads are dropped (decode CHECK family flags them).
     Output carries the payload columns only — rejoin transcript/ds on
     ``clip_id`` when the downstream step needs them (all three
     transformation ops share this contract)."""
     from drain3_spark.shipping import ship_package
     ship_package(clips.sparkSession)
+    if method not in ("linear", "sinc"):
+        raise ValueError(f"unknown resample method: {method}")
     tsr = int(target_sr)
+    n_taps = int(taps)
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from drain3_spark.audio.codecs import decode, encode
@@ -627,12 +662,15 @@ def resample_clips(clips: DataFrame, target_sr: int) -> DataFrame:
                     pcm = decode(bytes(payload), codec).astype(np.float64)
                 except Exception:
                     continue
-                n_new = max(int(round(len(pcm) * tsr / float(sr))), 1)
-                t_new = np.arange(n_new, dtype=np.float64) / tsr
-                t_old = np.arange(len(pcm), dtype=np.float64) / float(sr)
-                y = np.interp(t_new, t_old, pcm).astype(np.float32)
+                if method == "sinc":
+                    y = sinc_resample_kernel(pcm, int(sr), tsr, n_taps)
+                else:
+                    n_new = max(int(round(len(pcm) * tsr / float(sr))), 1)
+                    t_new = np.arange(n_new, dtype=np.float64) / tsr
+                    t_old = np.arange(len(pcm), dtype=np.float64) / float(sr)
+                    y = np.interp(t_new, t_old, pcm).astype(np.float32)
                 out.append((cid, bytearray(encode(y, codec, tsr)), tsr,
-                            int(round(n_new * 1000.0 / tsr)), codec))
+                            int(round(len(y) * 1000.0 / tsr)), codec))
             yield pd.DataFrame(out, columns=[f.name for f in RESAMPLED_SCHEMA])
 
     return (clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
