@@ -321,19 +321,28 @@ NORMALIZED_SCHEMA = T.StructType([
 
 
 def normalize_loudness(clips: DataFrame, target_lufs: float = -23.0,
-                       peak_ceiling_dbfs: float = -1.0) -> DataFrame:
+                       peak_ceiling_dbfs: float = -1.0,
+                       peak_mode: str = "sample") -> DataFrame:
     """Gain every clip to ``target_lufs`` integrated loudness (EBU R128
     broadcast target by default), limiting the gain where it would push
-    the sample peak above ``peak_ceiling_dbfs`` (``limited = true`` —
-    a static headroom cap, not a dynamics limiter).  Silence
-    (unmeasurable loudness) and undecodable payloads pass through with
-    ``gain_db = 0``.  Measure + apply in ONE decode pass; re-encodes
-    with the clip's own codec and carries the shared payload-column
-    contract (rejoin transcript/ds on ``clip_id``)."""
+    the peak above ``peak_ceiling_dbfs`` (``limited = true`` — a static
+    headroom cap, not a dynamics limiter).  ``peak_mode="sample"``
+    caps the sample peak; ``"true"`` caps the Annex-2 4x-oversampled
+    TRUE peak — the R128 deliverable spec (-1 dBTP): an off-crest
+    near-Nyquist signal can exceed the ceiling between samples by up
+    to ~3 dB under the sample cap.  Silence (unmeasurable loudness)
+    and undecodable payloads pass through with ``gain_db = 0``.
+    Measure + apply in ONE decode pass; re-encodes with the clip's own
+    codec and carries the shared payload-column contract (rejoin
+    transcript/ds on ``clip_id``)."""
     from drain3_spark.shipping import ship_package
     ship_package(clips.sparkSession)
-    ceil_lin = 10.0 ** (float(peak_ceiling_dbfs) / 20.0)
+    if peak_mode not in ("sample", "true"):
+        raise ValueError(f"unknown peak_mode: {peak_mode}")
+    ceil_db = float(peak_ceiling_dbfs)
+    ceil_lin = 10.0 ** (ceil_db / 20.0)
     tgt = float(target_lufs)
+    use_tp = peak_mode == "true"
 
     def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from drain3_spark.audio.codecs import decode, encode
@@ -354,12 +363,17 @@ def normalize_loudness(clips: DataFrame, target_lufs: float = -23.0,
                                 None, 0.0, False))
                     continue
                 gain_db = tgt - lufs
-                peak = float(np.max(np.abs(pcm))) if len(pcm) else 0.0
                 limited = False
-                if peak > 0:
-                    max_gain = 20.0 * math.log10(ceil_lin / peak)
-                    if gain_db > max_gain:
-                        gain_db, limited = max_gain, True
+                if use_tp:
+                    tp = true_peak_dbfs(pcm)
+                    if tp is not None and gain_db > ceil_db - tp:
+                        gain_db, limited = ceil_db - tp, True
+                else:
+                    peak = float(np.max(np.abs(pcm))) if len(pcm) else 0.0
+                    if peak > 0:
+                        max_gain = 20.0 * math.log10(ceil_lin / peak)
+                        if gain_db > max_gain:
+                            gain_db, limited = max_gain, True
                 y = (pcm * 10.0 ** (gain_db / 20.0)).astype(np.float32)
                 out.append((cid, bytearray(encode(y, codec, int(sr))),
                             int(sr), int(dur), codec, lufs,

@@ -206,3 +206,34 @@ def test_loudness_range_two_level_program():
     assert lra_kernel(0.1 * tone[: fs], fs) == 0.0  # < one 3 s window
     assert lra_kernel(np.zeros(5 * fs), fs) is None
     assert lra_kernel(np.zeros(0), fs) is None
+
+
+def test_normalize_true_peak_mode(spark):
+    """An off-crest fs/4 tone hides ~3 dB of inter-sample crest: the
+    sample-peak cap lets the TRUE peak overshoot the ceiling; the
+    peak_mode="true" cap keeps it at the ceiling (dBTP)."""
+    import pytest
+
+    fs = 48000
+    n = np.arange(2 * fs)
+    # quiet off-crest fs/4 tone: every sample sits 3.01 dB below the
+    # inter-sample crest.  Ceiling -4 dBTP, target -3 LUFS: the gained
+    # SAMPLE peak lands ~-6.3 dBFS (sample cap never fires) while the
+    # gained TRUE peak lands ~-3.3 dBTP — through the ceiling.
+    x = (0.05 * np.sin(2 * np.pi * 0.25 * n + np.pi / 4)).astype(np.float32)
+    df = _clip_df(spark, [("q", x, fs, "pcm_f32le")])
+
+    r_s = normalize_loudness(df, target_lufs=-3.0,
+                             peak_ceiling_dbfs=-4.0).collect()[0]
+    r_t = normalize_loudness(df, target_lufs=-3.0, peak_ceiling_dbfs=-4.0,
+                             peak_mode="true").collect()[0]
+    assert not r_s.limited   # the sample meter saw no problem...
+    assert r_t.limited       # ...the true-peak meter did
+    tp_s = true_peak_dbfs(decode(bytes(r_s.bytes), "pcm_f32le"))
+    tp_t = true_peak_dbfs(decode(bytes(r_t.bytes), "pcm_f32le"))
+    assert tp_s > -4.0 + 0.5         # sample mode overshot the ceiling
+    assert abs(tp_t - (-4.0)) < 0.1  # true-peak cap lands on it
+    assert r_t.gain_db < r_s.gain_db
+
+    with pytest.raises(ValueError):
+        normalize_loudness(df, peak_mode="rms")
