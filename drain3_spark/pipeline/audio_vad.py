@@ -37,16 +37,25 @@ from pyspark.sql import DataFrame, types as T
 def vad_kernel(pcm: np.ndarray, sr: int, frame_ms: int = 20,
                on_db: float = 9.0, off_db: float = 3.0,
                abs_floor: float = 0.004, min_speech_ms: int = 60,
-               min_gap_ms: int = 100) -> Tuple[List[Tuple[int, int]], float]:
+               min_gap_ms: int = 100,
+               active_cap: float = 0.02) -> Tuple[List[Tuple[int, int]],
+                                                  float]:
     """Segments + speech ratio for one decoded mono PCM buffer — the
     single source of truth the Spark operators batch; tests replay it
     directly.  Returns ([(start_ms, end_ms), ...], speech_ratio) where
     speech_ratio = speech samples / total samples.
 
-    The gate is ``max(noise_floor · 10^(dB/20), abs_floor)`` per side:
-    the relative term adapts to the clip's recording chain, the
-    absolute term stops digital-silence clips (noise floor ~0) from
-    promoting quantization dither to speech."""
+    The open gate is ``max(abs_floor, min(noise_floor · 10^(on_db/20),
+    active_cap))``: the relative term adapts to the clip's recording
+    chain; ``abs_floor`` stops digital-silence clips (noise floor ~0)
+    from promoting quantization dither to speech; ``active_cap`` stops
+    PAUSE-FREE loud program (noise floor == program level, nothing
+    quiet to anchor on) from gating itself out — frames above a level
+    that is unambiguously active count as speech regardless of the
+    floor estimate.  Energy VAD cannot classify loud content (a loud
+    noise bed reads as active too — pair with the quality family's
+    flatness/SNR for that); what it owns is the silence/activity
+    boundary.  The close gate keeps the on/off hysteresis spacing."""
     n = len(pcm)
     if n == 0 or not sr:
         return [], 0.0
@@ -56,8 +65,8 @@ def vad_kernel(pcm: np.ndarray, sr: int, frame_ms: int = 20,
     rms = np.sqrt(np.mean(x.reshape(nf, frame) ** 2, axis=1))
     srt = np.sort(rms)
     floor = float(np.mean(srt[:max(nf // 10, 1)]))
-    thr_on = max(floor * 10.0 ** (on_db / 20.0), abs_floor)
-    thr_off = max(floor * 10.0 ** (off_db / 20.0), abs_floor)
+    thr_on = max(abs_floor, min(floor * 10.0 ** (on_db / 20.0), active_cap))
+    thr_off = max(abs_floor, thr_on * 10.0 ** ((off_db - on_db) / 20.0))
 
     # hysteresis scan (python over FRAMES, not samples: 50 frames/sec)
     segs: List[List[int]] = []

@@ -101,3 +101,20 @@ def test_vad_undecodable_reports_zero(spark):
     r = speech_ratio_stats(df).collect()[0]
     assert (r.n_segments, r.speech_ratio) == (None, 0.0)
     assert vad_segments(df).count() == 0
+
+
+def test_vad_pause_free_program_counts_as_active():
+    """A loud continuous tone has no quiet frames to anchor the noise
+    floor on — the active_cap keeps it from gating itself out (the
+    failure the pipeline demo exposed: a -5 LUFS corpus reading as
+    100% dead air).  A continuous QUIET bed still reads silent."""
+    t = np.arange(2 * FS) / FS
+    loud = 0.3 * np.sin(2 * np.pi * 300.0 * t)
+    segs, ratio = vad_kernel(loud, FS)
+    assert ratio > 0.99 and len(segs) == 1
+    # loud noise bed is also "active" — energy VAD owns the
+    # silence/activity boundary, not content classification
+    rng = np.random.default_rng(2)
+    assert vad_kernel(0.1 * rng.standard_normal(2 * FS), FS)[1] > 0.99
+    # continuous quiet bed stays below the absolute floor
+    assert vad_kernel(0.002 * np.sin(2 * np.pi * 300.0 * t), FS)[1] == 0.0
