@@ -691,8 +691,9 @@ def _q55_audio_loudness(spark, sf):
     from drain3_spark.pipeline.audio_loudness import loudness_stats
     clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600,
                          partitions=8)
-    return (loudness_stats(clips).join(clips.select("clip_id", "codec"),
-                                       "clip_id")
+    # codec rides THROUGH the stats op (carry) — re-joining the corpus
+    # on clip_id would rescan and shuffle 10^12 rows at scale
+    return (loudness_stats(clips, carry=("codec",))
             .groupBy("codec")
             .agg(F.count(F.lit(1)).alias("n_clips"),
                  F.round(F.avg("integrated_lufs"), 3).alias("avg_lufs"),
@@ -708,8 +709,7 @@ def _q56_audio_vad(spark, sf):
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.audio_vad import speech_ratio_stats
     clips = FX.gen_clips_padded(spark, 160, dur_lo=250, dur_hi=600)
-    return (speech_ratio_stats(clips)
-            .join(clips.select("clip_id", "ds"), "clip_id")
+    return (speech_ratio_stats(clips, carry=("ds",))
             .groupBy("ds")
             .agg(F.count(F.lit(1)).alias("n_clips"),
                  F.sum("n_segments").alias("n_segments"),
@@ -728,8 +728,7 @@ def _q57_audio_pitch(spark, sf):
     from drain3_spark.pipeline.audio_pitch import pitch_stats
     clips = FX.gen_clips(spark, 200, dirty=False, dur_lo=200, dur_hi=600,
                          partitions=8)
-    return (pitch_stats(clips).join(clips.select("clip_id", "ds"),
-                                    "clip_id")
+    return (pitch_stats(clips, carry=("ds",))
             .groupBy("ds")
             .agg(F.count(F.lit(1)).alias("n_clips"),
                  F.round(F.avg("voiced_ratio"), 6).alias("avg_voiced"),

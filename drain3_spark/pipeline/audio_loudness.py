@@ -272,40 +272,49 @@ LOUDNESS_SCHEMA = T.StructType([
 ])
 
 
-def loudness_stats(clips: DataFrame) -> DataFrame:
+def loudness_stats(clips: DataFrame, carry: tuple = ()) -> DataFrame:
     """Per-clip BS.1770-4 integrated loudness + EBU Tech 3342 loudness
     range + Annex-2 true peak (module docstring).  One decode AND one
     K-weighting filter pass per clip — integrated and LRA share the
     weighted signal; undecodable payloads yield null metrics (the
-    decode CHECK family owns flagging them)."""
+    decode CHECK family owns flagging them).
+
+    ``carry`` names input columns passed through to the output — at
+    corpus scale a rollup keyed on ds/codec should carry them here
+    rather than re-join on ``clip_id`` (a second full scan plus a
+    corpus-sized shuffle)."""
     from drain3_spark.shipping import ship_package
+    from drain3_spark.util import carry_schema
     ship_package(clips.sparkSession)
     nulls = (None, None, 0, 0, None, None)
+    schema = carry_schema(LOUDNESS_SCHEMA, clips, carry)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from drain3_spark.audio.codecs import decode
         for b in batches:
             out = []
-            for cid, payload, sr, codec in zip(b["clip_id"], b["bytes"],
-                                               b["sr_hz"], b["codec"]):
+            for cid, payload, sr, codec, *extra in zip(
+                    b["clip_id"], b["bytes"], b["sr_hz"], b["codec"],
+                    *(b[c] for c in carry)):
                 try:
                     pcm = decode(bytes(payload), codec)
                 except Exception:
-                    out.append((cid, 0) + nulls)
+                    out.append((cid, 0) + nulls + tuple(extra))
                     continue
                 if not sr or len(pcm) == 0:
-                    out.append((cid, len(pcm)) + nulls)
+                    out.append((cid, len(pcm)) + nulls + tuple(extra))
                     continue
                 y = k_weight(np.asarray(pcm, dtype=np.float64), int(sr))
                 out.append((cid, len(pcm))
                            + lufs_kernel(pcm, int(sr), _kw=y)
                            + (lra_kernel(pcm, int(sr), _kw=y),
-                              true_peak_dbfs(pcm)))
-            yield pd.DataFrame(out, columns=[f.name for f in
-                                             LOUDNESS_SCHEMA])
+                              true_peak_dbfs(pcm))
+                           + tuple(extra))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
 
-    return (clips.select("clip_id", "bytes", "sr_hz", "codec")
-            .mapInPandas(extract, LOUDNESS_SCHEMA))
+    cols = ["clip_id", "bytes", "sr_hz", "codec"] + [
+        c for c in carry if c not in ("clip_id", "bytes", "sr_hz", "codec")]
+    return clips.select(*cols).mapInPandas(extract, schema)
 
 
 NORMALIZED_SCHEMA = T.StructType([

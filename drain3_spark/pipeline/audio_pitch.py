@@ -140,31 +140,39 @@ PITCH_SCHEMA = T.StructType([
 
 def pitch_stats(clips: DataFrame, frame_ms: int = 40, hop_ms: int = 20,
                 f_lo: float = 50.0, f_hi: float = 600.0,
-                threshold: float = 0.1) -> DataFrame:
+                threshold: float = 0.1, carry: tuple = ()) -> DataFrame:
     """Per-clip YIN pitch statistics (module docstring).  One decode
     per clip; undecodable payloads yield null metrics with
-    voiced_ratio 0 (the decode CHECK family owns flagging them)."""
+    voiced_ratio 0 (the decode CHECK family owns flagging them).
+    ``carry`` passes input columns through so rollups need no corpus
+    re-join."""
     from drain3_spark.shipping import ship_package
+    from drain3_spark.util import carry_schema
     ship_package(clips.sparkSession)
+    schema = carry_schema(PITCH_SCHEMA, clips, carry)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from drain3_spark.audio.codecs import decode
         for b in batches:
             out = []
-            for cid, payload, sr, codec in zip(b["clip_id"], b["bytes"],
-                                               b["sr_hz"], b["codec"]):
+            for cid, payload, sr, codec, *extra in zip(
+                    b["clip_id"], b["bytes"], b["sr_hz"], b["codec"],
+                    *(b[c] for c in carry)):
                 try:
                     pcm = decode(bytes(payload), codec)
                 except Exception:
-                    out.append((cid, 0, 0.0, None, None, None))
+                    out.append((cid, 0, 0.0, None, None, None)
+                               + tuple(extra))
                     continue
                 if not sr:
-                    out.append((cid, 0, 0.0, None, None, None))
+                    out.append((cid, 0, 0.0, None, None, None)
+                               + tuple(extra))
                     continue
                 out.append((cid,) + pitch_kernel(pcm, int(sr), frame_ms,
                                                  hop_ms, f_lo, f_hi,
-                                                 threshold))
-            yield pd.DataFrame(out, columns=[f.name for f in PITCH_SCHEMA])
+                                                 threshold) + tuple(extra))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
 
-    return (clips.select("clip_id", "bytes", "sr_hz", "codec")
-            .mapInPandas(extract, PITCH_SCHEMA))
+    cols = ["clip_id", "bytes", "sr_hz", "codec"] + [
+        c for c in carry if c not in ("clip_id", "bytes", "sr_hz", "codec")]
+    return clips.select(*cols).mapInPandas(extract, schema)

@@ -115,11 +115,12 @@ SPEECH_RATIO_SCHEMA = T.StructType([
 ])
 
 
-def _decode_iter(batches, cols):
+def _decode_iter(batches, cols, codec_idx=None):
     from drain3_spark.audio.codecs import decode
+    ci = cols.index("codec") if codec_idx is None else codec_idx
     for b in batches:
         for row in zip(*(b[c] for c in cols)):
-            payload, codec = row[1], row[-1]
+            payload, codec = row[1], row[ci]
             try:
                 pcm = decode(bytes(payload), codec)
             except Exception:
@@ -156,28 +157,35 @@ def vad_segments(clips: DataFrame, frame_ms: int = 20, on_db: float = 9.0,
 def speech_ratio_stats(clips: DataFrame, frame_ms: int = 20,
                        on_db: float = 9.0, off_db: float = 3.0,
                        abs_floor: float = 0.004, min_speech_ms: int = 60,
-                       min_gap_ms: int = 100) -> DataFrame:
+                       min_gap_ms: int = 100,
+                       carry: tuple = ()) -> DataFrame:
     """Per-clip speech coverage: segment count, speech milliseconds,
     and speech_ratio in [0,1].  Undecodable payloads report ratio 0
     with n_segments null (the decode CHECK family owns flagging them);
-    a curation filter drops low-ratio clips either way."""
+    a curation filter drops low-ratio clips either way.  ``carry``
+    passes input columns through so rollups need no corpus re-join."""
     from drain3_spark.shipping import ship_package
+    from drain3_spark.util import carry_schema
     ship_package(clips.sparkSession)
+    schema = carry_schema(SPEECH_RATIO_SCHEMA, clips, carry)
+    base = ("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
         out = []
-        for (cid, _, sr, dur, _c), pcm in _decode_iter(batches, cols):
+        # zip may name a column twice (base + carried); the deduped
+        # select below keeps the DataFrame itself unambiguous
+        for (cid, _, sr, dur, _c, *extra), pcm in _decode_iter(
+                batches, base + tuple(carry), codec_idx=4):
             if pcm is None or not sr:
-                out.append((cid, int(dur), None, None, 0.0))
+                out.append((cid, int(dur), None, None, 0.0) + tuple(extra))
                 continue
             segs, ratio = vad_kernel(pcm, int(sr), frame_ms, on_db,
                                      off_db, abs_floor, min_speech_ms,
                                      min_gap_ms)
             out.append((cid, int(dur), len(segs),
-                        int(sum(b - a for a, b in segs)), ratio))
-        yield pd.DataFrame(out, columns=[f.name for f in
-                                         SPEECH_RATIO_SCHEMA])
+                        int(sum(b - a for a, b in segs)), ratio)
+                       + tuple(extra))
+        yield pd.DataFrame(out, columns=[f.name for f in schema])
 
-    return (clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
-            .mapInPandas(extract, SPEECH_RATIO_SCHEMA))
+    cols = list(base) + [c for c in carry if c not in base]
+    return clips.select(*cols).mapInPandas(extract, schema)

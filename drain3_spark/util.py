@@ -56,3 +56,22 @@ def widen_small_scan(df: DataFrame, min_parts: int = None) -> DataFrame:
     except Exception:
         return df  # e.g. streaming DataFrames: no static partitioning
     return df.repartition(target) if n < target else df
+
+
+def carry_schema(base: "T.StructType", df: "DataFrame",
+                 carry) -> "T.StructType":
+    """Output schema for a per-clip stats operator that passes input
+    columns through (``carry``): the base schema plus each carried
+    column's StructField copied from the input — so a ds/codec-keyed
+    rollup never re-joins the corpus on clip_id (a second full scan
+    plus a corpus-sized shuffle at 10^12 rows).  Rejects carried names
+    that collide with the operator's own output columns."""
+    from pyspark.sql import types as T
+    taken = {f.name for f in base.fields}
+    fields = list(base.fields)
+    for c in carry:
+        if c in taken:
+            raise ValueError(f"carry column collides with output: {c!r}")
+        fields.append(df.schema[c])
+        taken.add(c)
+    return T.StructType(fields)

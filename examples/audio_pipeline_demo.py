@@ -107,8 +107,7 @@ def main() -> None:
     from drain3_spark.pipeline.audio_vad import speech_ratio_stats
     from drain3_spark.pipeline.sampling import stratified_sample
     print("== BS.1770 loudness (per codec) ==")
-    loudness_stats(kept).join(kept.select("clip_id", "codec"), "clip_id") \
-        .groupBy("codec") \
+    loudness_stats(kept, carry=("codec",)).groupBy("codec") \
         .agg(F.count("*").alias("n"),
              F.round(F.avg("integrated_lufs"), 2).alias("avg_lufs")).show()
     print("== VAD speech coverage ==")

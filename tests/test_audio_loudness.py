@@ -237,3 +237,35 @@ def test_normalize_true_peak_mode(spark):
 
     with pytest.raises(ValueError):
         normalize_loudness(df, peak_mode="rms")
+
+
+def test_carry_columns_pass_through(spark):
+    """carry= appends input columns to the stats output (incl. for
+    undecodable rows), plans with no join, and rejects collisions."""
+    import pytest
+
+    from drain3_spark.pipeline.audio_pitch import pitch_stats
+    from drain3_spark.pipeline.audio_vad import speech_ratio_stats
+
+    fs = 16000
+    t = np.arange(fs) / fs
+    x = (0.2 * np.sin(2 * np.pi * 300.0 * t)).astype(np.float32)
+    df = spark.createDataFrame(
+        [("a", bytearray(encode(x, "pcm_s16le")), fs, 1000, "pcm_s16le",
+          "d1"),
+         ("bad", bytearray(b"\x00"), fs, 1000, "flac", "d2")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, ds string")
+
+    for op, kw in ((loudness_stats, {}), (speech_ratio_stats, {}),
+                   (pitch_stats, {})):
+        rows = {r.clip_id: r for r in op(df, carry=("ds", "codec"),
+                                         **kw).collect()}
+        assert rows["a"].ds == "d1" and rows["a"].codec == "pcm_s16le"
+        assert rows["bad"].ds == "d2" and rows["bad"].codec == "flac"
+        plan = op(df, carry=("ds",), **kw)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Join" not in plan
+
+    with pytest.raises(ValueError):
+        speech_ratio_stats(df, carry=("dur_ms",))  # output collision
