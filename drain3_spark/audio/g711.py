@@ -79,7 +79,10 @@ def encode_alaw_g711(pcm: np.ndarray) -> bytes:
     x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
     pcm13 = np.round(x * 4096.0).astype(np.int32)
     sign = np.where(pcm13 >= 0, 0x80, 0x00).astype(np.int32)
-    mag = np.minimum(np.abs(pcm13), 4095)
+    # the spec takes the one's complement (-pcm - 1) of negative
+    # samples, not the absolute value — segment lower-edge negatives
+    # land one quantization interval differently otherwise
+    mag = np.minimum(np.where(pcm13 >= 0, pcm13, -pcm13 - 1), 4095)
     seg = np.zeros(mag.shape, dtype=np.int32)
     for s in range(1, 8):
         seg[mag >= (0x20 << (s - 1))] = s

@@ -227,7 +227,8 @@ def gen_clips_wav(spark: SparkSession, n: int, n_ds: int = 7,
                   sr_mismatch_every: int = 17,
                   partitions: Optional[int] = None) -> DataFrame:
     """Codec/container-matrix clips table (q48): row ``i`` carries
-    ``CODEC_MATRIX[i % 10]``, the same :func:`reference_pcm` signal as
+    ``CODEC_MATRIX[i % len(CODEC_MATRIX)]``, the same
+    :func:`reference_pcm` signal as
     T1 routed through the matching encoder.  WAV payloads embed the
     clip's true ``sr_hz`` — except every ``sr_mismatch_every``-th WAV
     row, whose CONTAINER header lies about the rate (the table column

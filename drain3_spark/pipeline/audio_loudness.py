@@ -50,7 +50,7 @@ surface; this extends the validation engine's payload family (C8).
 from __future__ import annotations
 
 import math
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd

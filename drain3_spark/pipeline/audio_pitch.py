@@ -75,7 +75,10 @@ def yin_frame_f0(frames: np.ndarray, sr: int, f_lo: float = 50.0,
     cum = np.cumsum(d[:, 1:], axis=1)
     dn = np.ones_like(d)
     with np.errstate(divide="ignore", invalid="ignore"):
-        dn[:, 1:] = d[:, 1:] * taus[1:] / np.where(cum > 0, cum, np.inf)
+        dn[:, 1:] = np.where(cum > 0, d[:, 1:] * taus[1:] / cum, 1.0)
+    # cum == 0 means a constant/silent frame: the paper defines d' = 1
+    # there (a 0 would read as a perfect dip at tau_min and voice
+    # digital silence at exactly f_hi whenever sr/f_hi is an integer)
 
     f0 = np.full(nf, np.nan)
     band = dn[:, tau_min:tau_max]

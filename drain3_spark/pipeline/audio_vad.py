@@ -57,10 +57,12 @@ def vad_kernel(pcm: np.ndarray, sr: int, frame_ms: int = 20,
     flatness/SNR for that); what it owns is the silence/activity
     boundary.  The close gate keeps the on/off hysteresis spacing."""
     n = len(pcm)
-    if n == 0 or not sr:
+    frame = max(int(sr) * frame_ms // 1000, 1) if sr else 1
+    # a clip shorter than one frame has no measurable speech content
+    # (and would break the frame reshape below)
+    if n < frame or not sr:
         return [], 0.0
-    frame = max(int(sr) * frame_ms // 1000, 1)
-    nf = max(n // frame, 1)
+    nf = n // frame
     x = np.asarray(pcm[:nf * frame], dtype=np.float64)
     rms = np.sqrt(np.mean(x.reshape(nf, frame) ** 2, axis=1))
     srt = np.sort(rms)
@@ -115,17 +117,19 @@ SPEECH_RATIO_SCHEMA = T.StructType([
 ])
 
 
-def _decode_iter(batches, cols, codec_idx=None):
+def _decode_batch(b, cols, codec_idx=None):
+    """Decode one Arrow batch's rows — callers yield one output
+    DataFrame PER BATCH so executor memory stays bounded by the Arrow
+    batch size, never the partition size."""
     from drain3_spark.audio.codecs import decode
     ci = cols.index("codec") if codec_idx is None else codec_idx
-    for b in batches:
-        for row in zip(*(b[c] for c in cols)):
-            payload, codec = row[1], row[ci]
-            try:
-                pcm = decode(bytes(payload), codec)
-            except Exception:
-                pcm = None
-            yield row, pcm
+    for row in zip(*(b[c] for c in cols)):
+        payload, codec = row[1], row[ci]
+        try:
+            pcm = decode(bytes(payload), codec)
+        except Exception:
+            pcm = None
+        yield row, pcm
 
 
 def vad_segments(clips: DataFrame, frame_ms: int = 20, on_db: float = 9.0,
@@ -140,15 +144,16 @@ def vad_segments(clips: DataFrame, frame_ms: int = 20, on_db: float = 9.0,
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("clip_id", "bytes", "sr_hz", "codec")
-        out = []
-        for (cid, _, sr, _c), pcm in _decode_iter(batches, cols):
-            if pcm is None or not sr:
-                continue
-            segs, _ = vad_kernel(pcm, int(sr), frame_ms, on_db, off_db,
-                                 abs_floor, min_speech_ms, min_gap_ms)
-            out.extend((cid, i, a, b) for i, (a, b) in enumerate(segs))
-        yield pd.DataFrame(out, columns=[f.name for f in
-                                         VAD_SEGMENTS_SCHEMA])
+        for b in batches:
+            out = []
+            for (cid, _, sr, _c), pcm in _decode_batch(b, cols):
+                if pcm is None or not sr:
+                    continue
+                segs, _ = vad_kernel(pcm, int(sr), frame_ms, on_db, off_db,
+                                     abs_floor, min_speech_ms, min_gap_ms)
+                out.extend((cid, i, a, e) for i, (a, e) in enumerate(segs))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             VAD_SEGMENTS_SCHEMA])
 
     return (clips.select("clip_id", "bytes", "sr_hz", "codec")
             .mapInPandas(extract, VAD_SEGMENTS_SCHEMA))
@@ -171,21 +176,23 @@ def speech_ratio_stats(clips: DataFrame, frame_ms: int = 20,
     base = ("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out = []
         # zip may name a column twice (base + carried); the deduped
         # select below keeps the DataFrame itself unambiguous
-        for (cid, _, sr, dur, _c, *extra), pcm in _decode_iter(
-                batches, base + tuple(carry), codec_idx=4):
-            if pcm is None or not sr:
-                out.append((cid, int(dur), None, None, 0.0) + tuple(extra))
-                continue
-            segs, ratio = vad_kernel(pcm, int(sr), frame_ms, on_db,
-                                     off_db, abs_floor, min_speech_ms,
-                                     min_gap_ms)
-            out.append((cid, int(dur), len(segs),
-                        int(sum(b - a for a, b in segs)), ratio)
-                       + tuple(extra))
-        yield pd.DataFrame(out, columns=[f.name for f in schema])
+        for b in batches:
+            out = []
+            for (cid, _, sr, dur, _c, *extra), pcm in _decode_batch(
+                    b, base + tuple(carry), codec_idx=4):
+                if pcm is None or not sr:
+                    out.append((cid, int(dur), None, None, 0.0)
+                               + tuple(extra))
+                    continue
+                segs, ratio = vad_kernel(pcm, int(sr), frame_ms, on_db,
+                                         off_db, abs_floor, min_speech_ms,
+                                         min_gap_ms)
+                out.append((cid, int(dur), len(segs),
+                            int(sum(e - a for a, e in segs)), ratio)
+                           + tuple(extra))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
 
     cols = list(base) + [c for c in carry if c not in base]
     return clips.select(*cols).mapInPandas(extract, schema)

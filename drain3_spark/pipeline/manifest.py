@@ -32,8 +32,12 @@ def corpus_manifest(clips: DataFrame,
     min/max/avg, codec and sr_hz histograms, transcript null count and
     length/rate means.  With ``transcripts_ref``, adds the referential
     coverage count (clips whose id exists in the reference)."""
-    chars_per_sec = (F.length("transcript") * 1000.0
-                     / F.greatest(F.col("dur_ms"), F.lit(1)))
+    # NULL (and non-positive) dur_ms must stay out of the rate average:
+    # greatest() skips nulls, so greatest(dur_ms, 1) would turn a
+    # null-duration row into chars/0.001s and poison the published stat
+    chars_per_sec = F.when(F.col("dur_ms") > 0,
+                           F.length("transcript") * 1000.0
+                           / F.col("dur_ms"))
     base = (clips.groupBy("ds").agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.countDistinct("clip_id").alias("n_distinct_ids"),

@@ -79,3 +79,18 @@ def test_pitch_undecodable_reports_zero(spark):
         "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
     r = pitch_stats(df).collect()[0]
     assert (r.voiced_ratio, r.f0_median_hz) == (0.0, None)
+
+
+def test_silent_frames_stay_unvoiced_at_48k():
+    """Digital-silence frames have d == 0 everywhere; the paper's
+    d' = 1 convention must hold, else they read as a perfect dip at
+    tau_min and silence gets voiced at exactly f_hi whenever sr/f_hi
+    divides (48000/600): a tone+silence clip used to report ~0.99
+    voiced with a bogus 600 Hz f0_max."""
+    fs = 48000
+    t = np.arange(fs) / fs
+    x = np.concatenate([0.4 * np.sin(2 * np.pi * 200 * t), np.zeros(fs)])
+    nf, vr, med, lo, hi = pitch_kernel(x, fs)
+    assert abs(vr - 0.5) < 0.02, vr
+    assert abs(med - 200.0) < 0.5 and abs(hi - 200.0) < 0.5
+    assert pitch_kernel(np.zeros(fs), fs)[1] == 0.0

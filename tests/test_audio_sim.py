@@ -624,3 +624,27 @@ def test_sinc_resample_rejects_aliases(spark):
     import pytest
     with pytest.raises(ValueError):
         resample_clips(clips, tsr, method="cubic")
+
+
+def test_sinc_resample_heavy_ratio_rejection():
+    """The kernel width scales with the decimation ratio: at 6:1
+    (48k->8k) out-of-band rejection must hold (~-31 dB before the
+    ratio scaling, ~-47 dB after), and the passband must survive."""
+    from drain3_spark.pipeline.audio_sim import sinc_resample_kernel
+
+    fs, tsr = 48000, 8000
+    t = np.arange(fs) / fs
+
+    def rms_db(y):
+        y = np.asarray(y, dtype=np.float64)
+        return 10 * np.log10(np.mean(y ** 2) + 1e-20)
+
+    hi = 0.5 * np.sin(2 * np.pi * 6000 * t)   # above the 4 kHz Nyquist
+    rej = rms_db(sinc_resample_kernel(hi, fs, tsr)) - rms_db(hi)
+    assert rej < -40.0, rej
+    lo = 0.5 * np.sin(2 * np.pi * 2000 * t)
+    y = sinc_resample_kernel(lo, fs, tsr)
+    ref = 0.5 * np.sin(2 * np.pi * 2000 * np.arange(len(y)) / tsr)
+    err = y[100:-100] - ref[100:-100]
+    snr = 10 * np.log10(np.mean(ref[100:-100] ** 2) / np.mean(err ** 2))
+    assert snr > 40.0, snr

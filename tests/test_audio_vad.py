@@ -118,3 +118,11 @@ def test_vad_pause_free_program_counts_as_active():
     assert vad_kernel(0.1 * rng.standard_normal(2 * FS), FS)[1] > 0.99
     # continuous quiet bed stays below the absolute floor
     assert vad_kernel(0.002 * np.sin(2 * np.pi * 300.0 * t), FS)[1] == 0.0
+
+
+def test_vad_subframe_clip_is_silent_not_crash():
+    """A decodable clip shorter than one 20 ms frame must return empty
+    (it used to ValueError in the frame reshape, killing the Spark
+    task from the validation path)."""
+    assert vad_kernel(np.ones(150) * 0.1, FS) == ([], 0.0)
+    assert vad_kernel(np.ones(319) * 0.1, FS) == ([], 0.0)

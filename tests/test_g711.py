@@ -92,3 +92,38 @@ def test_g711_rides_validation_matrix(spark):
     # both new codecs actually appeared in the corpus
     metas = {FX.CODEC_MATRIX[i % len(FX.CODEC_MATRIX)] for i in range(130)}
     assert {"g711_mulaw", "g711_alaw"} <= metas and codecs_seen
+
+
+_SEG_AEND = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+
+def _ref_linear2alaw(pcm13: int) -> int:
+    """Scalar transcription of the classic public G.711 A-law encoder
+    (CCITT reference shape): one's-complement negatives, segment table
+    search, alternate-bit inversion."""
+    if pcm13 >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        pcm13 = -pcm13 - 1
+    pcm13 = min(pcm13, 0xFFF)
+    seg = 8
+    for i, b in enumerate(_SEG_AEND):
+        if pcm13 <= b:
+            seg = i
+            break
+    if seg < 2:
+        aval = (seg << 4) | ((pcm13 >> 1) & 0xF)
+    else:
+        aval = (seg << 4) | ((pcm13 >> seg) & 0xF)
+    return aval ^ mask
+
+
+def test_alaw_encode_exhaustive_vs_reference():
+    """Every 13-bit input encodes to the same byte as the reference
+    algorithm — including the negative segment-edge values the
+    one's-complement handles (127 bytes differed before the fix)."""
+    vals = np.arange(-4096, 4096)
+    got = np.frombuffer(encode_alaw_g711(vals / 4096.0), dtype=np.uint8)
+    want = np.array([_ref_linear2alaw(int(v)) for v in vals])
+    np.testing.assert_array_equal(got, want)

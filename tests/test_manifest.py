@@ -11,6 +11,14 @@ def test_manifest_matches_duckdb(spark, tmp_path):
     from drain3_spark.pipeline.manifest import corpus_manifest
 
     clips = FX.gen_clips(spark, 250, dirty=True, partitions=8)
+    # plant a null-duration row: it must stay OUT of the chars/sec
+    # average (greatest(dur_ms,1) used to turn it into chars/0.001s)
+    from pyspark.sql import functions as F
+    planted = (clips.limit(1)
+               .withColumn("clip_id", F.lit("null-dur"))
+               .withColumn("dur_ms", F.lit(None).cast("int"))
+               .withColumn("transcript", F.lit("x" * 500)))
+    clips = clips.unionByName(planted)
     ref = FX.gen_transcripts_ref(spark, 200, dirty=True)
     cpath, rpath = str(tmp_path / "clips"), str(tmp_path / "ref")
     clips.write.parquet(cpath)
@@ -30,8 +38,9 @@ def test_manifest_matches_duckdb(spark, tmp_path):
                  cast(sum(case when transcript is null then 1 else 0 end)
                       as bigint) nn,
                  round(avg(length(transcript)), 4) tc,
-                 round(avg(length(transcript) * 1000.0
-                           / greatest(dur_ms, 1)), 4) cps
+                 round(avg(case when dur_ms > 0 then
+                           length(transcript) * 1000.0 / dur_ms
+                           end), 4) cps
           from c group by ds),
         ch as (select ds, list((codec, n) order by codec) h from
                (select ds, codec, count(*) n from c group by 1, 2)
