@@ -196,3 +196,62 @@ def speech_ratio_stats(clips: DataFrame, frame_ms: int = 20,
 
     cols = list(base) + [c for c in carry if c not in base]
     return clips.select(*cols).mapInPandas(extract, schema)
+
+
+UTTERANCES_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("utt_idx", T.IntegerType()),
+    T.StructField("start_ms", T.IntegerType()),
+    T.StructField("end_ms", T.IntegerType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("sr_hz", T.IntegerType()),
+    T.StructField("dur_ms", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+])
+
+
+def split_on_silence(clips: DataFrame, pad_ms: int = 100,
+                     frame_ms: int = 20, on_db: float = 9.0,
+                     off_db: float = 3.0, abs_floor: float = 0.004,
+                     min_speech_ms: int = 60,
+                     min_gap_ms: int = 100) -> DataFrame:
+    """Utterance segmentation: split each clip at VAD-detected pauses
+    into one payload row per speech segment (``clip_id``/``utt_idx``
+    joinable back to the source transcript), each padded by ``pad_ms``
+    of surrounding context (clamped to the clip; padding may re-overlap
+    a close neighbor — segments are emitted independently).  The
+    standard ASR preprocessing step that turns long-form audio into
+    trainable utterances, here computed where the data lives: one
+    decode + one VAD pass + in-task re-encode per clip, no shuffle,
+    output rows ≈ speech segments.  All-silent and undecodable clips
+    emit nothing (speech_ratio_stats is the per-clip view that keeps
+    them; the decode CHECK family owns flagging undecodables)."""
+    from drain3_spark.shipping import ship_package
+    ship_package(clips.sparkSession)
+    pad = int(pad_ms)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drain3_spark.audio.codecs import encode
+        cols = ("clip_id", "bytes", "sr_hz", "codec")
+        for b in batches:
+            out = []
+            for (cid, _, sr, codec), pcm in _decode_batch(b, cols):
+                if pcm is None or not sr:
+                    continue
+                sr = int(sr)
+                segs, _ = vad_kernel(pcm, sr, frame_ms, on_db, off_db,
+                                     abs_floor, min_speech_ms, min_gap_ms)
+                n_ms = len(pcm) * 1000 // sr
+                for i, (a, e) in enumerate(segs):
+                    a2, e2 = max(a - pad, 0), min(e + pad, n_ms)
+                    lo, hi = a2 * sr // 1000, min(e2 * sr // 1000, len(pcm))
+                    if hi <= lo:
+                        continue
+                    out.append((cid, i, a2, e2,
+                                bytearray(encode(pcm[lo:hi], codec, sr)),
+                                sr, e2 - a2, codec))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             UTTERANCES_SCHEMA])
+
+    return (clips.select("clip_id", "bytes", "sr_hz", "codec")
+            .mapInPandas(extract, UTTERANCES_SCHEMA))

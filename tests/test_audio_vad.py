@@ -126,3 +126,52 @@ def test_vad_subframe_clip_is_silent_not_crash():
     task from the validation path)."""
     assert vad_kernel(np.ones(150) * 0.1, FS) == ([], 0.0)
     assert vad_kernel(np.ones(319) * 0.1, FS) == ([], 0.0)
+
+
+def test_split_on_silence_utterances(spark):
+    """A two-utterance clip splits into exactly two padded payload
+    rows whose decoded slices are bit-exact windows of the source;
+    silence and undecodable clips emit nothing."""
+    from drain3_spark.pipeline.audio_vad import split_on_silence
+
+    sig = np.concatenate([np.zeros(int(0.5 * FS)), _speech(1.0),
+                          np.zeros(int(0.7 * FS)), _speech(0.8),
+                          np.zeros(int(0.5 * FS))]).astype(np.float32)
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string")
+    clips = spark.createDataFrame(
+        [("two", bytearray(encode(sig, "pcm_f32le")), FS, 3500,
+          "pcm_f32le"),
+         ("silent", bytearray(encode(np.zeros(FS, np.float32),
+                                     "pcm_s16le")), FS, 1000, "pcm_s16le"),
+         ("junk", bytearray(b"\x00\x01"), FS, 100, "flac")], schema)
+
+    rows = sorted(split_on_silence(clips, pad_ms=100).collect(),
+                  key=lambda r: r.utt_idx)
+    assert [r.clip_id for r in rows] == ["two", "two"]
+    # VAD found (500,1500) and (2200,3000); pad 100 ms each side
+    assert [(r.start_ms, r.end_ms) for r in rows] == [(400, 1600),
+                                                      (2100, 3100)]
+    for r in rows:
+        assert r.dur_ms == r.end_ms - r.start_ms
+        got = decode(bytes(r.bytes), "pcm_f32le")
+        lo, hi = r.start_ms * FS // 1000, r.end_ms * FS // 1000
+        np.testing.assert_array_equal(got, sig[lo:hi])
+
+
+def test_split_on_silence_pad_clamps_and_whole_clip(spark):
+    """Padding clamps to the clip bounds; a pause-free clip yields one
+    utterance spanning the whole clip."""
+    from drain3_spark.pipeline.audio_vad import split_on_silence
+
+    t = np.arange(FS) / FS
+    loud = (0.3 * np.sin(2 * np.pi * 300.0 * t)).astype(np.float32)
+    clips = spark.createDataFrame(
+        [("loud", bytearray(encode(loud, "pcm_s16le")), FS, 1000,
+          "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    rows = split_on_silence(clips, pad_ms=500).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.start_ms, r.end_ms, r.utt_idx) == (0, 1000, 0)
+    assert len(decode(bytes(r.bytes), "pcm_s16le")) == FS
