@@ -137,6 +137,21 @@ def k_weighting_ir(fs: int, tol: float = 1e-12,
     return h
 
 
+_HF_CACHE: dict = {}
+
+
+def _rfft_ir(key, h: np.ndarray, m: int) -> np.ndarray:
+    """rfft of a filter at FFT size m, cached by (key, m): clip lengths
+    cluster on few power-of-two sizes, so each executor transforms each
+    filter a handful of times instead of once per clip (bit-identical
+    results — the same array is reused)."""
+    hf = _HF_CACHE.get((key, m))
+    if hf is None:
+        hf = np.fft.rfft(h, m)
+        _HF_CACHE[(key, m)] = hf
+    return hf
+
+
 def k_weight(pcm: np.ndarray, fs: int) -> np.ndarray:
     """Apply the K-weighting prefilter (FFT linear convolution with the
     cached truncated IR; equals the direct-form recursion to ~1e-12)."""
@@ -147,7 +162,7 @@ def k_weight(pcm: np.ndarray, fs: int) -> np.ndarray:
     m = 1
     while m < n + len(h) - 1:
         m *= 2
-    y = np.fft.irfft(np.fft.rfft(pcm, m) * np.fft.rfft(h, m), m)
+    y = np.fft.irfft(np.fft.rfft(pcm, m) * _rfft_ir(("kw", fs), h, m), m)
     return y[:n]
 
 
@@ -225,7 +240,8 @@ def true_peak_dbfs(pcm: np.ndarray, oversample: int = 4) -> Optional[float]:
     m = 1
     while m < len(up) + len(h) - 1:
         m *= 2
-    y = np.fft.irfft(np.fft.rfft(up, m) * np.fft.rfft(h, m), m)[:len(up)]
+    y = np.fft.irfft(np.fft.rfft(up, m)
+                     * _rfft_ir(("tp", oversample), h, m), m)[:len(up)]
     peak = max(float(np.max(np.abs(y))), float(np.max(np.abs(x))))
     return round(20.0 * np.log10(max(peak, 1e-10)), 6)
 
