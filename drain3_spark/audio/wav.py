@@ -51,9 +51,16 @@ _STEPS = np.array([
     27086, 29794, 32767], dtype=np.int32)
 _INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
 
-WAV_FORMAT_TAGS = {1: "pcm_s16le", 3: "pcm_f32le", 6: "alaw",
-                   7: "mulaw", 0x11: "adpcm_ima"}
+# RIFF wFormatTag -> payload codec.  Tags 6/7 are ITU-T G.711 in the
+# wild, so the container path uses the interop-EXACT segmented codecs
+# (audio/g711.py); the bare "mulaw"/"alaw" codec names keep the
+# package's continuous-formula variant for raw sample streams.
+WAV_FORMAT_TAGS = {1: "pcm_s16le", 3: "pcm_f32le", 6: "g711_alaw",
+                   7: "g711_mulaw", 0x11: "adpcm_ima"}
 _TAG_OF = {v: k for k, v in WAV_FORMAT_TAGS.items()}
+# encode_wav's public inner-format names (the "wav:<fmt>" codec
+# strings) keep their historical spellings; they WRITE G.711 payloads
+_TAG_OF.update({"mulaw": 7, "alaw": 6})
 
 DEFAULT_BLOCK_ALIGN = 256  # mono ADPCM: 505 samples per 256-byte block
 
@@ -178,7 +185,12 @@ def encode_wav(pcm: np.ndarray, sr_hz: int, fmt: str = "pcm_s16le",
                                 block_align, 4, 2, spb)
         fact = struct.pack("<4sII", b"fact", 4, n_samples)
     else:
-        data = raw_encode(np.asarray(pcm, dtype=np.float32), fmt)
+        # tags 6/7 carry real G.711 on disk: encode with the exact
+        # segmented tables so the file is interop-valid (decode_wav
+        # reads it back with the same tables)
+        payload_codec = {"mulaw": "g711_mulaw",
+                         "alaw": "g711_alaw"}.get(fmt, fmt)
+        data = raw_encode(np.asarray(pcm, dtype=np.float32), payload_codec)
         bits = {"pcm_s16le": 16, "pcm_f32le": 32,
                 "mulaw": 8, "alaw": 8}[fmt]
         ba = bits // 8

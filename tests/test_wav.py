@@ -106,7 +106,7 @@ def test_wav_roundtrip(codec, min_snr):
 
 def test_wav_header_only_parse_matches_decode():
     sig = _sig(1501)
-    for codec, inner in [("wav", "pcm_s16le"), ("wav:mulaw", "mulaw"),
+    for codec, inner in [("wav", "pcm_s16le"), ("wav:mulaw", "g711_mulaw"),
                          ("wav:adpcm_ima", "adpcm_ima")]:
         payload = encode(sig, codec, sr_hz=8000)
         got_codec, sr, n = wav_header(payload)
