@@ -299,3 +299,50 @@ def test_loudness_and_speech_ratio_checks(spark):
         clips, materialize=False)
     assert v0.filter(v0.check.isin(CHECK_LOUDNESS,
                                    CHECK_SPEECH_RATIO)).count() == 0
+
+
+def test_loudness_checks_flow_through_incremental_driver(spark, tmp_path):
+    """The opt-in loudness/speech-ratio bounds pass through the
+    resumable micro-batch driver (jobs.run_incremental) and flag the
+    same planted rows the batch engine flags."""
+    import numpy as np
+
+    from drain3_spark.audio.codecs import encode
+    from drain3_spark.fixtures import CHECK_LOUDNESS, CHECK_SPEECH_RATIO
+    from drain3_spark.jobs import run_incremental
+    from drain3_spark.validation.runner import (ValidationConfig,
+                                                ValidationEngine)
+
+    fs = 16000
+    t = np.arange(2 * fs) / fs
+    tone = np.sin(2 * np.pi * 220 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+    rows = []
+    for ds in ("d1", "d2"):
+        rows += [(f"ok-{ds}", bytearray(encode((0.1 * tone).astype(
+                      np.float32), "pcm_s16le")), fs, 2000, "pcm_s16le",
+                  "hello world", ds),
+                 (f"quiet-{ds}", bytearray(encode((0.001 * tone).astype(
+                      np.float32), "pcm_s16le")), fs, 2000, "pcm_s16le",
+                  "hello world", ds)]
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string, ds string")
+    vcfg = ValidationConfig(with_drift=False,
+                            loudness_bounds=(-35.0, -5.0),
+                            min_speech_ratio=0.5)
+
+    res = run_incremental(spark, clips, str(tmp_path / "state"),
+                          vcfg=vcfg, out_dir=str(tmp_path / "out"))
+    assert len(res) == 2
+    got = set()
+    for r in res:
+        got |= {(v.clip_id, v.check)
+                for v in r.report.violations.collect()
+                if v.check in (CHECK_LOUDNESS, CHECK_SPEECH_RATIO)}
+    want = set()
+    batch = ValidationEngine(vcfg).violations(clips, materialize=False)
+    for v in batch.collect():
+        if v.check in (CHECK_LOUDNESS, CHECK_SPEECH_RATIO):
+            want.add((v.clip_id, v.check))
+    assert got == want
+    assert {c for c, _ in got} == {"quiet-d1", "quiet-d2"}
