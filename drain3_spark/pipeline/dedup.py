@@ -517,70 +517,115 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             f"connected_components needs matching integer or string id "
             f"columns; got {id_a}:{dt_a.simpleString()} / "
             f"{id_b}:{dt_b.simpleString()}")
-    edges = pairs.select(ua.alias("u"), ub.alias("v"))
-    und = _truncate(
-        edges.unionByName(edges.select(F.col("v").alias("u"),
-                                       F.col("u").alias("v"))))
+    # the FIRST checkpoint materializes the caller's whole pair-finding
+    # lineage (a corpus-scale pipeline at 100 TB) exactly ONCE, under
+    # the session's normal config (AQE on).  Everything downstream
+    # (undirected doubling, self loops, the generations) derives from
+    # this checkpointed half-edge list with cheap unions — the former
+    # shape checkpointed the DOUBLED list, which evaluated the caller's
+    # lineage once per union branch and wrote 2x the rows.
+    half = _truncate(pairs.select(ua.alias("u"), ub.alias("v")))
+    n_edges = 2 * half.count()
+    und = half.unionByName(half.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
 
-    # right-size the edge list's partitioning for the generations ahead:
-    # `und` inherits the INPUT's partition count (a pair list computed
-    # from a wide corpus scan arrives in dozens of partitions however
-    # few pairs it holds), and the checkpoint freezes that count — every
-    # generation's join then re-scans all those near-empty partitions,
-    # so per-task dispatch overhead times stage count dominates small
-    # graphs (measured: the 651-node q34 graph dragging 64 partitions
-    # through ~10 checkpointed generations swung 4.7s-53s with host
-    # dispatch latency; ~1s right-sized).  The count is free here — und
-    # is already checkpointed — and AQE coalesces the shuffle sides to
-    # match.  At scale the same rule fans OUT: one task per ~50k edges,
-    # capped at 4x cluster parallelism.
-    n_edges = und.count()
-    want = max(1, min((n_edges + 49_999) // 50_000,
+    # right-size the loop's partitioning from the DATA (guide §2.2):
+    # one task per ~125k edge rows (measured knee on a 2M-row shuffle
+    # at local[32]: 16 partitions beat both 4 and 64), capped at 4x
+    # cluster parallelism so big graphs still fan out and floored at
+    # one task for the few-hundred-node graphs a per-label near-dup
+    # pass produces (32 near-empty tasks per stage x ~20 checkpointed
+    # stage barriers is pure dispatch overhead there).
+    want = max(1, min((n_edges + 124_999) // 125_000,
                       spark.sparkContext.defaultParallelism * 4))
-    if und.rdd.getNumPartitions() > 2 * want:
-        und = _truncate(und.repartition(want))
 
-    # init: own id min'd with direct neighbors (first propagation free)
-    labels = _truncate(und.groupBy("u")
-                       .agg(F.least(F.min("v"), F.col("u")).alias("lbl")))
+    # Small-graph fast path (size-gated, NOT hardware-gated): with AQE
+    # on, every Exchange of every generation becomes its own
+    # sequentially-materialized query stage — ~6 stage barriers per
+    # generation of scheduling latency that dwarfs the sub-second of
+    # actual compute on a few-million-row label table — and AQE's
+    # 64 MB advisory coalescing squashes these tiny-byte shuffles to
+    # 1-2 partitions, serializing the join compute (measured: the
+    # 2M-edge bench graph's generations ran 1.4-3.9s under AQE, ~1.1s
+    # without).  AQE's value (runtime coalescing, skew splits) only
+    # materializes when per-partition data is large, so keep it for
+    # big graphs and run the loop's tiny jobs without it.
+    small = n_edges < 10_000_000
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in ("spark.sql.adaptive.enabled",
+                                      "spark.sql.shuffle.partitions")}
+    try:
+        if small:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", str(want))
 
-    from pyspark.sql import Observation
+        # init: own id min'd with direct neighbors (first propagation
+        # free).  labels also enumerates the node set for the self-loop
+        # rows below.
+        labels = _truncate(und.groupBy("u")
+                           .agg(F.least(F.min("v"), F.col("u")).alias("lbl")))
 
-    converged = False
-    iterations = 0
-    iter_secs: List[float] = []
-    for _ in range(max_iter):
-        t0 = time.monotonic()
-        # (a) min label over each node's neighborhood; carry the
-        # pre-iteration label as _prev so convergence is an in-job
-        # Observation on the jump's own materialization — no separate
-        # count job and no extra corpus-width join per generation
-        # (measured: 3 jobs/generation -> 2 on a 1M-edge graph)
-        nbr = (und.join(labels.select(F.col("u").alias("v"),
-                                      F.col("lbl").alias("nlbl")), "v")
-               .groupBy("u").agg(F.min("nlbl").alias("nlbl")))
-        prop = (labels.join(nbr, "u", "left")
-                .select("u", F.least("lbl", F.coalesce("nlbl", "lbl"))
-                        .alias("lbl"), F.col("lbl").alias("_prev")))
-        # (b) pointer jump: label <- label's label (labels are ids, so
-        # the label table itself is the pointer table).  prop feeds both
-        # join sides — truncate first so it computes once.
-        prop = _truncate(prop)
-        ptr = prop.select(F.col("u").alias("_l"), F.col("lbl").alias("_j"))
-        obs = Observation()
-        jumped = _truncate(
-            prop.join(ptr, F.col("lbl") == F.col("_l"), "left")
-            .select("u", F.least("lbl", F.coalesce("_j", "lbl"))
-                    .alias("lbl"), "_prev")
-            .observe(obs, F.sum((F.col("lbl") != F.col("_prev"))
-                                .cast("long")).alias("changed")))
-        changed = obs.get["changed"] or 0
-        labels = jumped.select("u", "lbl")
-        iterations += 1
-        iter_secs.append(time.monotonic() - t0)
-        if changed == 0:
-            converged = True
-            break
+        # static per-iteration join input: undirected edges + one
+        # self-loop per node, hash-partitioned on the join key `v` ONCE
+        # and checkpointed — the checkpoint preserves the partitioning,
+        # so every generation's neighbor join reuses it and only the
+        # (tiny) label side shuffles (its rename u->v keeps the hash
+        # requirement satisfiable).  The self-loop row does double
+        # duty: it injects each node's own label into the neighborhood
+        # min (replacing the former labels-side left join — one join
+        # and one Exchange per generation removed) and, flagged via
+        # `is_self`, carries the pre-iteration label out of the same
+        # aggregation as `_prev` for the convergence Observation.
+        und2 = _truncate(
+            und.select("u", "v", F.lit(False).alias("is_self"))
+            .unionByName(labels.select("u", F.col("u").alias("v"),
+                                       F.lit(True).alias("is_self")))
+            .repartition(want, "v"))
+
+        from pyspark.sql import Observation
+
+        converged = False
+        iterations = 0
+        iter_secs: List[float] = []
+        for _ in range(max_iter):
+            t0 = time.monotonic()
+            # ONE job per generation (was two): (a) min label over each
+            # node's closed neighborhood (self loop includes the node's
+            # own label; _prev rides out of the same aggregate via the
+            # is_self flag), then (b) the pointer jump
+            # (label <- label's label) as a self-join of the SAME
+            # aggregate subtree — left un-truncated so both sides plan
+            # into one job; the generation's stage-barrier count, not
+            # its few-MB of compute, is what the loop pays for
+            # (measured: 2 checkpoint jobs/generation ~2.3s vs one-job
+            # ~1.4s steady on the 2M-edge bench graph).
+            prop = (und2.join(labels.select(F.col("u").alias("v"),
+                                            F.col("lbl").alias("nlbl")), "v")
+                    .groupBy("u")
+                    .agg(F.min("nlbl").alias("lbl"),
+                         F.min(F.when(F.col("is_self"), F.col("nlbl")))
+                         .alias("_prev")))
+            ptr = prop.select(F.col("u").alias("_l"), F.col("lbl").alias("_j"))
+            obs = Observation()
+            jumped = _truncate(
+                prop.join(ptr, F.col("lbl") == F.col("_l"), "left")
+                .select("u", F.least("lbl", F.coalesce("_j", "lbl"))
+                        .alias("lbl"), "_prev")
+                .observe(obs, F.sum((F.col("lbl") != F.col("_prev"))
+                                    .cast("long")).alias("changed")))
+            changed = obs.get["changed"] or 0
+            labels = jumped.select("u", "lbl")
+            iterations += 1
+            iter_secs.append(time.monotonic() - t0)
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
 
     if not converged:
         logger.warning(
