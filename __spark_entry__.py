@@ -647,7 +647,11 @@ def _q45_audio_pipeline(spark, sf):
     from drain3_spark.pipeline.dedup import _SharedScope
     from drain3_spark.pipeline.multimodal import audio_spectral_features
     scope = _SharedScope()
-    clips = FX.gen_clips_padded(spark, 120, dur_lo=250, dur_hi=600)
+    # partitions=8, the fixture-tier convention (see note below q25):
+    # every downstream Arrow stage re-pays per-task python dispatch per
+    # partition, and this 120-clip gen otherwise defaults to 32
+    clips = FX.gen_clips_padded(spark, 120, dur_lo=250, dur_hi=600,
+                                partitions=8)
     trimmed = scope.share(trim_silence(clips))
     normed = scope.share(normalize_gain(trimmed, target_rms=0.1))
     feats = audio_spectral_features(denoise_clips(normed))
@@ -708,7 +712,8 @@ def _q56_audio_vad(spark, sf):
     recovery is pinned by tests/test_audio_vad.py."""
     from drain3_spark import fixtures as FX
     from drain3_spark.pipeline.audio_vad import speech_ratio_stats
-    clips = FX.gen_clips_padded(spark, 160, dur_lo=250, dur_hi=600)
+    clips = FX.gen_clips_padded(spark, 160, dur_lo=250, dur_hi=600,
+                                partitions=8)
     return (speech_ratio_stats(clips, carry=("ds",))
             .groupBy("ds")
             .agg(F.count(F.lit(1)).alias("n_clips"),

@@ -309,11 +309,41 @@ def mine_templates(df: DataFrame,
         # one string per row instead of a list<string> column
         from drain3_spark.core.kernel import tokenize as _tokenize
         delims = extra_delims
-        token_lists = [_tokenize(m, delims) for m in pdf["masked"].tolist()]
+        masked_list = pdf["masked"].tolist()
+        # Exact-repeat fast path (drain engine): an ingest whose
+        # change_type is "none" mutates nothing the tree search reads
+        # (leaf id lists only grow on cluster_created; template tokens
+        # only change on cluster_template_changed; size/updated_key/
+        # recency are not search inputs), so an IDENTICAL masked string
+        # must resolve to the same cluster with the same "none" outcome
+        # until some OTHER row mutates the bank.  Memoize that, clear on
+        # any mutating change — on template corpora nearly every row is
+        # an exact repeat of a recent one, and the memo replaces
+        # tokenize + tree walk + per-candidate scoring with one dict
+        # probe (the sequential fold is the mining job's hot loop).
+        # The jaccard bank keeps its own structures — no fast path.
+        use_memo = engine_name != "jaccard"
+        memo: dict = {}
         for i in range(len(pdf)):
-            tokens = token_lists[i]
+            mstr = masked_list[i]
+            hit = memo.get(mstr) if use_memo else None
+            if hit is not None:
+                rec, tmpl = hit
+                rec.size += 1
+                rec.updated_key = ckeys[i]
+                if bank.max_clusters is not None:
+                    bank.registry.move_to_end(rec.cid)
+                emit("a", [col[i] for col in ovals_cols], ckeys[i],
+                     ref_of(rec), "none", int(rec.size), tmpl, ckeys[i])
+                continue
+            tokens = _tokenize(mstr, delims)
             r = bank.ingest_tokens(tokens, order_key=ckeys[i])
             rec = bank.registry[r["cluster_id"]]
+            if use_memo:
+                if r["change_type"] == "none":
+                    memo[mstr] = (rec, r["template_mined"])
+                else:
+                    memo.clear()
             emit("a", [col[i] for col in ovals_cols], ckeys[i], ref_of(rec),
                  r["change_type"], int(r["cluster_size"]), r["template_mined"], ckeys[i])
 

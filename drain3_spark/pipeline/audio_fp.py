@@ -297,8 +297,10 @@ def fingerprint_matches(query_fps: DataFrame, index_fps: DataFrame,
     corpus per branch."""
     from drain3_spark.pipeline.dedup import _SharedScope
     scope = _SharedScope()
-    index_fps = scope.share(index_fps)
-    query_fps = scope.share(query_fps)
+    # index and query fingerprints are independent decode+FFT pipelines
+    # — materialize them with concurrent jobs (guide §2.6) instead of
+    # paying the two Arrow passes back-to-back
+    index_fps, query_fps = scope.share_all(index_fps, query_fps)
     hot = (index_fps.groupBy("hash")
            .agg(F.count("*").alias("_df"))
            .filter(F.col("_df") > df_cap)

@@ -66,6 +66,24 @@ class _SharedScope:
             df.count()
         return df
 
+    def share_all(self, *dfs: DataFrame) -> List[DataFrame]:
+        """Persist several INDEPENDENT subtrees and materialize them
+        with CONCURRENT jobs (guide §2.6: actions are only sequential
+        because driver code calls them sequentially; overlapping lets
+        one job's task tail back-fill executors with the next job's
+        tasks).  Use only for subtrees with no data dependency on each
+        other — a dependent chain must stay sequential so the upstream
+        cache is filled before the downstream job scans it."""
+        dfs = [df.persist(StorageLevel.MEMORY_AND_DISK) for df in dfs]
+        self._frames.extend(dfs)
+        if len(dfs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+                list(pool.map(lambda d: d.count(), dfs))
+        elif dfs:
+            dfs[0].count()
+        return dfs
+
     def release(self) -> None:
         frames, self._frames = self._frames, []
         for f in frames:
@@ -240,19 +258,37 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 # ------------------------------------------------------------------- minhash
 
+def _minhash_wide(df: DataFrame, id_col: str, text_col: str, k: int,
+                  num_hashes: int) -> DataFrame:
+    """One row per document with all ``num_hashes`` minhashes as
+    columns ``m0..m{K-1}`` — ONE aggregation over the shingle rows.
+    The former shape exploded every shingle row K ways before its
+    shuffle (guide §2.3: aggregate before you shuffle); computing the
+    K mins as K aggregate expressions shuffles K× fewer rows (partial
+    aggregation reduces each map task to one wide row per document)
+    and produces bit-identical minhash values (same
+    ``md5(shingle || '#' || seed)`` strings, same per-seed min)."""
+    sh = shingle_rows(df, id_col, text_col, k)
+    return sh.groupBy("id").agg(*[
+        F.min(F.md5(F.concat_ws("#", "shingle", F.lit(str(s)))))
+        .alias(f"m{s}") for s in range(num_hashes)])
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        num_hashes: int = 16) -> DataFrame:
     """(id, seed, minhash) — K permutations simulated by min over
     ``md5(shingle || '#' || seed)`` (string min; identical in any SQL
-    engine, no platform hash dependence)."""
-    sh = shingle_rows(df, id_col, text_col, k)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (sh.select("id", "shingle", seeds)
-            .groupBy("id", "seed")
-            .agg(F.min(F.md5(F.concat_ws("#", "shingle",
-                                         F.col("seed").cast("string"))))
-                 .alias("minhash")))
+    engine, no platform hash dependence).  Computed as one wide
+    aggregation (:func:`_minhash_wide`) and unpivoted AFTER the
+    shuffle, so the shingle rows are never replicated K ways."""
+    wide = _minhash_wide(df, id_col, text_col, k, num_hashes)
+    pairs = F.array(*[
+        F.struct(F.lit(s).alias("seed"), F.col(f"m{s}").alias("minhash"))
+        for s in range(num_hashes)])
+    return (wide.select("id", F.explode(pairs).alias("_p"))
+            .select("id", F.col("_p.seed").alias("seed"),
+                    F.col("_p.minhash").alias("minhash")))
 
 
 def minhash_band_index(df: DataFrame, id_col: str = "doc_id",
@@ -266,15 +302,26 @@ def minhash_band_index(df: DataFrame, id_col: str = "doc_id",
     document), then each new ingest batch joins its own banded
     signatures against the stored index
     (:func:`lsh_incremental_duplicates`) instead of re-reading and
-    re-shingling the whole corpus."""
+    re-shingling the whole corpus.
+
+    Band keys are pure expressions over the wide minhash row (the
+    band's sorted ``seed:minhash`` strings are a literal-indexed array,
+    no ``collect_list``), so the whole index is ONE aggregation — the
+    former signature-explode + second band aggregation (two extra
+    corpus-sized Exchanges) is gone; band_key values are identical."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    return (sig
-            .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-            .groupBy("id", "band")
-            .agg(F.md5(F.concat_ws("|", F.array_sort(
-                F.collect_list(F.concat_ws(":", F.col("seed").cast("string"),
-                                           "minhash"))))).alias("band_key")))
+    wide = _minhash_wide(df, id_col, text_col, k, num_hashes)
+    band_structs = []
+    for band in range(bands):
+        seeds = range(band * rows_per_band, (band + 1) * rows_per_band)
+        items = F.array_sort(F.array(*[
+            F.concat_ws(":", F.lit(str(s)), F.col(f"m{s}")) for s in seeds]))
+        band_structs.append(F.struct(
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws("|", items)).alias("band_key")))
+    return (wide.select("id", F.explode(F.array(*band_structs)).alias("_b"))
+            .select("id", F.col("_b.band").alias("band"),
+                    F.col("_b.band_key").alias("band_key")))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -391,10 +438,13 @@ def lsh_incremental_duplicates(new_df: DataFrame, corpus_df: DataFrame,
     # pruned read, not a full scan)
     new_ids = cand.select(F.col("new_id").alias("id")).distinct()
     old_ids = cand.select(F.col("old_id").alias("id")).distinct()
-    sh_new = scope.share(shingle_rows(new_df, id_col, text_col, k)
-                         .join(new_ids, "id", "left_semi"))
-    sh_old = scope.share(shingle_rows(corpus_df, id_col, text_col, k)
-                         .join(old_ids, "id", "left_semi"))
+    # the two pruned shingle tables have no dependency on each other —
+    # materialize them with concurrent jobs (guide §2.6)
+    sh_new, sh_old = scope.share_all(
+        shingle_rows(new_df, id_col, text_col, k)
+        .join(new_ids, "id", "left_semi"),
+        shingle_rows(corpus_df, id_col, text_col, k)
+        .join(old_ids, "id", "left_semi"))
     sizes_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n_new"))
     sizes_old = sh_old.groupBy("id").agg(F.count(F.lit(1)).alias("n_old"))
     common = (cand

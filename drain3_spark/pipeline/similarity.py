@@ -235,20 +235,26 @@ def cosine_near_dup_pairs_auto(embeddings: DataFrame, threshold: float = 0.95,
         return (_blas_pairs_by_block(e, threshold)
                 .dropDuplicates(["id_a", "id_b"]))
     # the per-pair cosine below is an interpreted HOF expression: widen
-    # a one-partition scan (no-op at scale, see widen_small_scan)
+    # a one-partition scan (no-op at scale, see widen_small_scan).
+    # Norms are computed once per row (same bit-identical refactor as
+    # cosine_near_dup_pairs) so the per-pair work is the dot alone.
     from drain3_spark.util import widen_small_scan
-    assigned = widen_small_scan(assigned)
+    assigned = widen_small_scan(assigned).withColumn("_nrm",
+                                                     _norm(F.col("vec")))
     a = assigned.select(F.col(id_col).alias("id_a"), "bucket",
-                        F.col("vec").alias("vec_a"))
+                        F.col("vec").alias("vec_a"),
+                        F.col("_nrm").alias("_nrm_a"))
     b = assigned.select(F.col(id_col).alias("id_b"),
                         F.col("bucket").alias("bucket_b"),
-                        F.col("vec").alias("vec_b"))
+                        F.col("vec").alias("vec_b"),
+                        F.col("_nrm").alias("_nrm_b"))
     cand = (a.join(b, (F.col("bucket") == F.col("bucket_b"))
                    & (F.col("id_a") < F.col("id_b")))
             .dropDuplicates(["id_a", "id_b"]))
     return (cand
             .withColumn("cosine",
-                        F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6))
+                        F.round(_dot(F.col("vec_a"), F.col("vec_b"))
+                                / (F.col("_nrm_a") * F.col("_nrm_b")), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
@@ -361,10 +367,23 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     # serialize every pair's dot product onto a single task
     from drain3_spark.util import widen_small_scan
     e = widen_small_scan(e)
-    a = e.select(F.col("id").alias("id_a"), "blk", F.col("vec").alias("vec_a"))
+    # norms are per-ROW quantities: compute them once on each join input
+    # instead of re-running the two norm aggregates inside every pair's
+    # cosine (the planner pushes the threshold into the join condition,
+    # so each candidate pair was evaluating dot + 2 norms there and
+    # again in the output projection — 6 interpreted O(dim) folds per
+    # pair; now it is the dot alone).  dot/(norm_a*norm_b) over the SAME
+    # doubles is bit-identical to the inlined expression — no float
+    # reassociation, so the rounded cosine (and the oracle hash) cannot
+    # move.
+    e = e.withColumn("_nrm", _norm(F.col("vec")))
+    a = e.select(F.col("id").alias("id_a"), "blk", F.col("vec").alias("vec_a"),
+                 F.col("_nrm").alias("_nrm_a"))
     b = e.select(F.col("id").alias("id_b"), F.col("blk").alias("blk_b"),
-                 F.col("vec").alias("vec_b"))
+                 F.col("vec").alias("vec_b"), F.col("_nrm").alias("_nrm_b"))
     return (a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
-            .withColumn("cosine", F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6))
+            .withColumn("cosine",
+                        F.round(_dot(F.col("vec_a"), F.col("vec_b"))
+                                / (F.col("_nrm_a") * F.col("_nrm_b")), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

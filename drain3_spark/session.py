@@ -77,4 +77,35 @@ def get_spark(app_name: str = "drain3_spark",
     spark.sparkContext.setLogLevel("WARN")
     from drain3_spark.shipping import ship_package
     ship_package(spark)
+    _prewarm_python_runners(spark)
     return spark
+
+
+_PREWARMED: set = set()
+
+
+def _prewarm_python_runners(spark: SparkSession) -> None:
+    """One-time per-session warm of the grouped-map and map-in-pandas
+    Arrow runners (guide §4.5: heavyweight init once, not inside the
+    first operator that needs it).  The first applyInPandas /
+    mapInPandas stage of a session otherwise pays JVM Arrow-runner
+    setup plus a python-worker handshake (~1-2s at local[32]) inside
+    whatever operator happens to run first — template mining and the
+    audio decode family here.  Disable with
+    ``SPARK_GRAFT_SESSION_PREWARM=0``."""
+    if os.environ.get("SPARK_GRAFT_SESSION_PREWARM", "1") == "0":
+        return
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PREWARMED:
+        return
+    _PREWARMED.add(app_id)
+    try:
+        from pyspark.sql import functions as F
+        n = max(min(spark.sparkContext.defaultParallelism, 32), 1)
+        df = spark.range(n * 2, numPartitions=n).select(
+            (F.col("id") % n).alias("k"), "id")
+        df.groupBy("k").applyInPandas(lambda pdf: pdf,
+                                      "k long, id long").count()
+        df.mapInPandas(lambda it: it, "k long, id long").count()
+    except Exception:  # pragma: no cover - warm is best-effort
+        pass

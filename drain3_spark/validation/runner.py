@@ -142,12 +142,24 @@ class ValidationEngine:
             if profiler is not None:
                 v = profiler.observe("checks_jvm", v)
                 a = profiler.observe("audio_decode", a)
-            with profiler.section("checks_jvm") if profiler else nullcontext():
-                v = v.persist()
-                v.count()
-            with profiler.section("audio_decode") if profiler else nullcontext():
-                a = a.persist()
-                a.count()
+            v = v.persist()
+            a = a.persist()
+            # the JVM check job and the Arrow audio job are independent
+            # and resource-complementary (JVM codegen vs python workers)
+            # — run them as two CONCURRENT jobs (guide §2.6) so each
+            # fills the other's task tail.  This is job-level overlap,
+            # not the one-union-job interleaving that thrashed (the
+            # scheduler still runs each stage's tasks as a unit).
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _count(df, name):
+                with profiler.section(name) if profiler else nullcontext():
+                    df.count()
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fv = pool.submit(_count, v, "checks_jvm")
+                fa = pool.submit(_count, a, "audio_decode")
+                fv.result()
+                fa.result()
         return v.unionByName(a)
 
     def validate(self, clips: DataFrame,
@@ -158,6 +170,29 @@ class ValidationEngine:
         spark = clips.sparkSession
         prof_sec = (profiler.section if profiler is not None
                     else (lambda name: nullcontext()))
+        # the drift cube reads only the metadata columns of clips and is
+        # independent of every check — launch its aggregation as a
+        # concurrent job (guide §2.6) so it back-fills while the check
+        # and audio jobs materialize, and harvest it where the rows are
+        # first needed below
+        cube_future = None
+        if cfg.with_drift:
+            from concurrent.futures import ThreadPoolExecutor
+            lo, hi = cfg.dur_bounds
+            dur_w = cfg.drift_dur_bucket_ms or max(
+                1, (hi - lo) // cfg.drift_max_buckets)
+            dur_b = F.when(
+                F.col("dur_ms").between(int(lo), int(hi)),
+                (F.floor(F.col("dur_ms") / F.lit(dur_w))
+                 * F.lit(dur_w)).cast("long")).alias("dur_ms")
+
+            def _cube():
+                with prof_sec("drift_cube"):
+                    return (clips.groupBy("ds", dur_b, "codec", "sr_hz")
+                            .agg(F.count(F.lit(1)).alias("n")).collect())
+            _cube_pool = ThreadPoolExecutor(max_workers=1)
+            cube_future = _cube_pool.submit(_cube)
+            _cube_pool.shutdown(wait=False)
         violations = self.violations(clips, transcripts_ref,
                                      include_orphans=include_orphans,
                                      profiler=profiler)
@@ -182,22 +217,13 @@ class ValidationEngine:
         # numpy.
         hist_rows = None
         if cfg.with_drift:
-            lo, hi = cfg.dur_bounds
-            dur_w = cfg.drift_dur_bucket_ms or max(
-                1, (hi - lo) // cfg.drift_max_buckets)
-            # out-of-domain durations must NOT leak into the KS
-            # histogram via the last partial bucket (whose start is
-            # <= hi but whose span reaches hi + dur_w - 1): bucket only
-            # in-domain values, carry the rest as a NULL bucket so the
-            # same cube still counts them for rows_scanned and the
-            # categorical (codec/sr_hz) histograms
-            dur_b = F.when(
-                F.col("dur_ms").between(int(lo), int(hi)),
-                (F.floor(F.col("dur_ms") / F.lit(dur_w))
-                 * F.lit(dur_w)).cast("long")).alias("dur_ms")
-            with prof_sec("drift_cube"):
-                hist_rows = (clips.groupBy("ds", dur_b, "codec", "sr_hz")
-                             .agg(F.count(F.lit(1)).alias("n")).collect())
+            # the cube was aggregated concurrently with the check jobs
+            # (launched above); out-of-domain durations did NOT leak
+            # into the KS histogram via the last partial bucket: only
+            # in-domain values are bucketed, the rest carry a NULL
+            # bucket so the same cube still counts them for
+            # rows_scanned and the categorical histograms
+            hist_rows = cube_future.result()
             if profiler is not None:
                 profiler.add_samples("drift_cube",
                                      sum(int(r["n"]) for r in hist_rows))
