@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, types as T
 
 from drain3_spark.audio.codecs import encode
 from drain3_spark.audio.synth import (CODEC_CHOICES, CODEC_WEIGHTS, SR_CHOICES,
-                                      SR_WEIGHTS, _pick, reference_pcm)
+                                      SR_WEIGHTS, _pick, reference_pcm,
+                                      seeded_rng)
 
 # --- check names shared with the validation runner (exact-match contract) ---
 CHECK_UNIQUENESS = "uniqueness"
@@ -170,7 +171,7 @@ def _synth_row(m: Dict) -> List[tuple]:
     d = m["defect"]
     sr, dur, transcript = m["sr_hz"], m["dur_ms"], m["transcript"]
     if d == "corrupt_bytes":
-        rng = np.random.default_rng(m["h"] & 0xFFFFFFFF ^ 0x5A5A5A5A)
+        rng = seeded_rng(m["h"] & 0xFFFFFFFF ^ 0x5A5A5A5A)
         payload = encode(rng.uniform(-1, 1, len(pcm)).astype(np.float32), m["codec"])
     else:
         payload = encode(pcm, m["codec"])
@@ -523,7 +524,7 @@ def dup_meta(i: int, n_ds: int = 7, dur_lo: int = 200, dur_hi: int = 3000,
 
 def _synth_dup_row(m: Dict) -> tuple:
     pcm = reference_pcm(m["base_clip_id"], m["sr_hz"], m["dur_ms"])
-    rng = np.random.default_rng(m["h"] & 0xFFFFFFFF ^ 0xD0D0D0D0)
+    rng = seeded_rng(m["h"] & 0xFFFFFFFF ^ 0xD0D0D0D0)
     pert = np.clip(m["gain"] * pcm.astype(np.float64)
                    + m["noise_amp"] * rng.uniform(-1.0, 1.0, len(pcm)),
                    -1.0, 1.0).astype(np.float32)
@@ -635,7 +636,7 @@ def _synth_fp_query_row(m: Dict, gain: float = 0.85,
     from drain3_spark.audio.synth import melody_pcm
     base = melody_pcm(m["base_clip_id"], m["sr_hz"], m["dur_ms"])
     snip = base[m["start_sample"]:m["start_sample"] + m["snip_n"]]
-    rng = np.random.default_rng(m["h"] & 0xFFFFFFFF ^ 0xF19E1234)
+    rng = seeded_rng(m["h"] & 0xFFFFFFFF ^ 0xF19E1234)
     pert = np.clip(gain * snip.astype(np.float64)
                    + noise_amp * rng.uniform(-1.0, 1.0, len(snip)),
                    -1.0, 1.0).astype(np.float32)

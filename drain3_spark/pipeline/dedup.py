@@ -133,10 +133,14 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 # ------------------------------------------------------------------ shingles
 
 def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                 k: int = 3) -> DataFrame:
-    """(id, shingle) rows: distinct k-gram word shingles of the
+                 k: int = 3, block_col: Optional[str] = None) -> DataFrame:
+    """(id[, _blk], shingle) rows: distinct k-gram word shingles of the
     normalized text.  Documents shorter than k words contribute their
-    whole text as a single shingle."""
+    whole text as a single shingle.  ``block_col`` rides THROUGH the
+    explode as ``_blk`` — carrying it beats joining the shingle rows
+    back to the corpus for it (at 10^12 docs that join shuffles the
+    whole shingle table; the carried column costs one string per
+    pre-aggregation row)."""
     from drain3_spark.util import widen_small_scan
     toks = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(toks)
@@ -145,9 +149,10 @@ def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.transform(F.sequence(F.lit(1), n - k + 1),
                     lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+    carry = [F.col(block_col).alias("_blk")] if block_col else []
     # normalize+explode are pre-shuffle; widen a one-partition scan
     return (widen_small_scan(df)
-            .select(F.col(id_col).alias("id"),
+            .select(F.col(id_col).alias("id"), *carry,
                     F.explode(F.array_distinct(shingles)).alias("shingle")))
 
 
@@ -183,10 +188,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     if df_cap == "auto":
         df_cap = DEFAULT_DF_CAP
     scope = _SharedScope()
-    sh = shingle_rows(df, id_col, text_col, k)
-    if block_col:
-        blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("_blk"))
-        sh = sh.join(blocks, "id")
+    sh = shingle_rows(df, id_col, text_col, k, block_col=block_col)
 
     if df_cap is not None:
         gcols = (["_blk"] if block_col else []) + ["shingle"]
@@ -196,7 +198,10 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         # three consumers read the postings (sizes + both ends of the
         # pair join); without sharing, the corpus scan, shingle explode,
         # and posting-list shuffle all run 3x — at 100 TB that triples
-        # the operator's dominant shuffle
+        # the operator's dominant shuffle.  (A lazy persist was tried
+        # here in r8 and REVERTED: the single deeper plan compiled and
+        # planned slower than the two-job eager shape, 4.9s -> 7s
+        # first-call at sf0.1.)
         postings = scope.share(postings)
         # per-doc shingle counts over the KEPT universe — derived from
         # the postings, so the text is exploded exactly once
