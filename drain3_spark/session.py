@@ -71,6 +71,21 @@ def get_spark(app_name: str = "drain3_spark",
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
     )
+    # Local-mode shuffle/spill files on tmpfs: the sandbox's /tmp is a
+    # virtualized disk whose latency spikes stall shuffle writes for
+    # seconds at a time (observed as sporadic 3-10x per-query outliers);
+    # /dev/shm is RAM-backed and 4-5x faster sequentially.  Only when
+    # the tmpfs is comfortably larger than this workload's shuffle
+    # footprint (>= 8 GiB free), and never on a real cluster (masters
+    # other than local keep Spark's defaults; SPARK_LOCAL_DIRS
+    # overrides either way).
+    if master.startswith("local") and "SPARK_LOCAL_DIRS" not in os.environ:
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 << 30:
+                b = b.config("spark.local.dir", "/dev/shm/spark_local")
+        except OSError:
+            pass
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
