@@ -70,6 +70,22 @@ def _collect_centroids(embeddings: DataFrame, num_centroids: int,
     return rows
 
 
+def _centroid_array_df(spark, cent_rows) -> DataFrame:
+    """ONE-row DataFrame whose single column is the centroid table as
+    ``array<struct<cid,cvec>>`` — attached to the embedding scan by a
+    broadcast of one row, so the assignment stays a zero-Exchange
+    narrow pass.  The former shape inlined C x dim double LITERALS into
+    the expression tree; at C=8, dim=64 that is a 512-literal codegen
+    method that janino takes seconds to compile on a query's first run
+    (the doubles here travel via Arrow instead, bit-exactly)."""
+    from drain3_spark.util import local_df
+    data = [([(int(r["centroid_id"]), [float(v) for v in r["cvec"]])
+              for r in cent_rows],)]
+    return local_df(
+        spark, data,
+        "_cents array<struct<cid:bigint,cvec:array<double>>>")
+
+
 def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
@@ -90,19 +106,18 @@ def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16,
     e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("vec"))
 
     if len(cent_rows) <= _IVF_LITERAL_MAX:
-        cand = F.array(*[
-            F.struct(F.lit(int(r["centroid_id"])).alias("cid"),
-                     _vec_lit(r["cvec"]).alias("cvec"))
-            for r in cent_rows])
+        cents = _centroid_array_df(embeddings.sparkSession, cent_rows)
         scored = F.transform(
-            cand,
+            F.col("_cents"),
             lambda c: F.struct(
                 F.aggregate(F.zip_with(F.col("vec"), c["cvec"],
                                        lambda x, y: (x - y) * (x - y)),
                             F.lit(0.0), lambda acc, v: acc + v).alias("d"),
                 c["cid"].alias("cid")))
         # struct min orders by (d, cid): deterministic low-cid tie-break
-        return e.select(id_col, F.array_min(scored)["cid"].alias("bucket"), "vec")
+        return (e.crossJoin(F.broadcast(cents))
+                .select(id_col, F.array_min(scored)["cid"].alias("bucket"),
+                        "vec"))
 
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -151,12 +166,9 @@ def assign_ivf_buckets_multiprobe(embeddings: DataFrame,
     e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("vec"))
 
     if len(cent_rows) <= _IVF_LITERAL_MAX:
-        cand = F.array(*[
-            F.struct(F.lit(int(r["centroid_id"])).alias("cid"),
-                     _vec_lit(r["cvec"]).alias("cvec"))
-            for r in cent_rows])
+        cents = _centroid_array_df(embeddings.sparkSession, cent_rows)
         scored = F.transform(
-            cand,
+            F.col("_cents"),
             lambda c: F.struct(
                 F.aggregate(F.zip_with(F.col("vec"), c["cvec"],
                                        lambda x, y: (x - y) * (x - y)),
@@ -165,8 +177,9 @@ def assign_ivf_buckets_multiprobe(embeddings: DataFrame,
         # struct sort orders by (d, cid) — the first `probes` entries are
         # the nearest buckets with deterministic low-cid tie-break
         top = F.slice(F.array_sort(scored), 1, probes)
-        return (e.select(id_col, "vec",
-                         F.posexplode(top).alias("probe", "_s"))
+        return (e.crossJoin(F.broadcast(cents))
+                .select(id_col, "vec",
+                        F.posexplode(top).alias("probe", "_s"))
                 .select(id_col, F.col("probe").cast("int").alias("probe"),
                         F.col("_s")["cid"].alias("bucket"), "vec"))
 
