@@ -277,8 +277,12 @@ def true_peak_dbfs(pcm: np.ndarray, oversample: int = 4) -> Optional[float]:
     m = 1
     while m < len(up) + len(h) - 1:
         m *= 2
+    # keep the FULL linear-convolution length: truncating at len(up)
+    # discarded the filter's ~taps-1 output tail, under-measuring
+    # inter-sample peaks within the last few source samples
     y = np.fft.irfft(np.fft.rfft(up, m)
-                     * _rfft_ir(("tp", oversample), h, m), m)[:len(up)]
+                     * _rfft_ir(("tp", oversample), h, m),
+                     m)[:len(up) + len(h) - 1]
     peak = max(float(np.max(np.abs(y))), float(np.max(np.abs(x))))
     return round(20.0 * np.log10(max(peak, 1e-10)), 6)
 

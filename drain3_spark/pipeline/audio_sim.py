@@ -1009,6 +1009,10 @@ def perturb_speed(clips: DataFrame,
             for cid, payload, sr, dur, codec in zip(
                     b["clip_id"], b["bytes"], b["sr_hz"], b["dur_ms"],
                     b["codec"]):
+                # null/zero sr skips the row like the sibling operators
+                # (a NULL here raised TypeError and failed the task)
+                if not sr:
+                    continue
                 sr = int(sr)
                 try:
                     pcm = decode(bytes(payload), codec).astype(np.float64)

@@ -43,10 +43,15 @@ def sample_hash(key: Column, seed: int = 0) -> Column:
     """Deterministic in [0, 1_000_000): first 15 hex chars of
     md5(key ':' seed) as a long, mod 1e6.  Engine-portable (DuckDB:
     ``('0x' || substr(md5(key || ':' || seed), 1, 15))::bigint %
-    1000000``)."""
+    1000000``).  NULL keys hash to NULL in BOTH engines: the DuckDB
+    twin's ``key || ':' || seed`` is NULL-propagating while Spark's
+    ``concat_ws`` skips NULL inputs, so the hash is gated on key
+    presence explicitly — a null-key row therefore fails every
+    ``< threshold`` keep test (dropped) identically on both sides."""
     h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(int(seed)))))
-    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
-                  F.lit(_DENOM))
+    return F.when(key.isNotNull(),
+                  F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+                         F.lit(_DENOM)))
 
 
 def stratified_sample(df: DataFrame, strata_col: str,
