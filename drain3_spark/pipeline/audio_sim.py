@@ -450,21 +450,29 @@ def audio_near_dup_pairs(clips: DataFrame, threshold: float = 0.999,
                             F.greatest("ca", "cb").alias("clip_id_b"),
                             "cosine"))
 
-    from drain3_spark.pipeline.similarity import cosine_col
+    from drain3_spark.pipeline.similarity import _dot, _norm
     from drain3_spark.util import widen_small_scan
-    assigned = widen_small_scan(assigned)
+    # per-row norms computed once on each join input (bit-identical to
+    # the inlined cosine — same doubles, no reassociation) so each
+    # candidate pair evaluates only the dot fold, not dot + 2 norms
+    # twice (threshold pushed into the join condition + projection)
+    assigned = widen_small_scan(assigned).withColumn(
+        "_nrm", _norm(F.col("vec")))
     a = assigned.select(F.col("clip_id").alias("clip_id_a"), "bucket",
-                        F.col("vec").alias("vec_a"))
+                        F.col("vec").alias("vec_a"),
+                        F.col("_nrm").alias("_nrm_a"))
     b = assigned.select(F.col("clip_id").alias("clip_id_b"),
                         F.col("bucket").alias("bucket_b"),
-                        F.col("vec").alias("vec_b"))
+                        F.col("vec").alias("vec_b"),
+                        F.col("_nrm").alias("_nrm_b"))
     cand = (a.join(b, (F.col("bucket") == F.col("bucket_b"))
                    & (F.col("clip_id_a") < F.col("clip_id_b")))
             .dropDuplicates(["clip_id_a", "clip_id_b"]))
     return scope.attach(
         cand
         .withColumn("cosine",
-                    F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6))
+                    F.round(_dot(F.col("vec_a"), F.col("vec_b"))
+                            / (F.col("_nrm_a") * F.col("_nrm_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("clip_id_a", "clip_id_b", "cosine"))
 
@@ -513,24 +521,29 @@ def audio_incremental_duplicates(new_clips: DataFrame, index: DataFrame,
     ``lsh_bits``/``lsh_bands``/``lsh_seed``) must match the arguments
     here — bucket ids and embedding dimensions are only comparable
     within one parameterization."""
-    from drain3_spark.pipeline.similarity import cosine_col
+    from drain3_spark.pipeline.similarity import _dot, _norm
     from drain3_spark.util import widen_small_scan
 
     new_idx = widen_small_scan(
         audio_embedding_index(new_clips, n_mels, frame_ms, hop_ms,
                               f_lo, f_hi, blocking, lsh_bits, lsh_bands,
                               lsh_seed))
+    # per-row norms once per side (bit-identical cosine, see
+    # audio_near_dup_pairs) — the per-pair work is the dot fold alone
     cand = (new_idx.select(F.col("clip_id").alias("new_id"), "bucket",
-                           F.col("embedding").alias("vec_new"))
+                           F.col("embedding").alias("vec_new"),
+                           _norm(F.col("embedding")).alias("_nrm_new"))
             .join(index.select(F.col("clip_id").alias("old_id"), "bucket",
-                               F.col("embedding").alias("vec_old")),
+                               F.col("embedding").alias("vec_old"),
+                               _norm(F.col("embedding")).alias("_nrm_old")),
                   "bucket")
             .filter(F.col("new_id") != F.col("old_id"))
             .dropDuplicates(["new_id", "old_id"]))
     return (cand
             .withColumn("cosine",
-                        F.round(cosine_col(F.col("vec_new"),
-                                           F.col("vec_old")), 6))
+                        F.round(_dot(F.col("vec_new"), F.col("vec_old"))
+                                / (F.col("_nrm_new") * F.col("_nrm_old")),
+                                6))
             .filter(F.col("cosine") >= threshold)
             .select("new_id", "old_id", "cosine"))
 
