@@ -428,8 +428,10 @@ def lsh_incremental_duplicates(new_df: DataFrame, corpus_df: DataFrame,
     if index is None:
         index = minhash_band_index(corpus_df, id_col, text_col, k,
                                    num_hashes, bands)
-    new_banded = scope.share(minhash_band_index(new_df, id_col, text_col, k,
-                                                num_hashes, bands))
+    # new_banded has exactly ONE consumer (the candidate join) — a
+    # persist here would only add a materialization job barrier
+    new_banded = minhash_band_index(new_df, id_col, text_col, k,
+                                    num_hashes, bands)
     cand = scope.share(
         new_banded.select(F.col("id").alias("new_id"), "band", "band_key")
         .join(index.select(F.col("id").alias("old_id"), "band", "band_key"),
